@@ -1,0 +1,141 @@
+"""Post-NMS box operations (host, vectorized numpy).
+
+Covers the detector's post-processing chain (reference:
+src/manuscript/detectors/_east/infer.py:134-233 and utils.py:384-422):
+inverse-shrink expansion, rescale to original resolution, containment and
+area-anomaly filters, axis alignment. All operate on (n, 9) arrays of
+[x0..y3, score] rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geometry import point_in_polygon, polygon_area_batch
+
+
+def expand_boxes(
+    quads: np.ndarray, expand_w: float = 0.0, expand_h: float = 0.0
+) -> np.ndarray:
+    """Push each vertex outward along averaged edge normals.
+
+    The per-vertex offset is min(adjacent edge lengths) scaled by the expand
+    ratios — the inverse of the 0.3-shrink applied during label synthesis.
+    """
+    if len(quads) == 0 or (expand_w == 0 and expand_h == 0):
+        return quads
+
+    coords = quads[:, :8].reshape(-1, 4, 2).astype(np.float64)
+    scores = quads[:, 8:9]
+
+    x, y = coords[:, :, 0], coords[:, :, 1]
+    area = np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
+    sign = np.sign(area).reshape(-1, 1, 1)
+    sign[sign == 0] = 1
+
+    p_prev = np.roll(coords, 1, axis=1)
+    p_next = np.roll(coords, -1, axis=1)
+
+    edge1 = coords - p_prev
+    edge2 = p_next - coords
+    len1 = np.linalg.norm(edge1, axis=2, keepdims=True)
+    len2 = np.linalg.norm(edge2, axis=2, keepdims=True)
+
+    # Outward normals of both adjacent edges, then their normalized average.
+    n1 = sign * np.stack([edge1[..., 1], -edge1[..., 0]], axis=2) / (len1 + 1e-6)
+    n2 = sign * np.stack([edge2[..., 1], -edge2[..., 0]], axis=2) / (len2 + 1e-6)
+    n_avg = n1 + n2
+    norm = np.linalg.norm(n_avg, axis=2, keepdims=True)
+    n_avg = np.divide(n_avg, norm, out=np.zeros_like(n_avg), where=norm > 0)
+
+    offset = np.minimum(len1, len2)
+    scale_xy = np.array([expand_w, expand_h], dtype=np.float64).reshape(1, 1, 2)
+    new_coords = coords + scale_xy * offset * n_avg
+
+    out = np.hstack([new_coords.reshape(-1, 8), scores])
+    return out.astype(np.float32)
+
+
+def scale_boxes(
+    boxes: np.ndarray, from_size: int, orig_h: int, orig_w: int
+) -> np.ndarray:
+    """Rescale quad coordinates from the square inference canvas back to the
+    original image resolution."""
+    if len(boxes) == 0:
+        return boxes
+    scaled = boxes.copy()
+    scaled[:, 0:8:2] *= orig_w / from_size
+    scaled[:, 1:8:2] *= orig_h / from_size
+    return scaled
+
+
+def to_axis_aligned(quads: np.ndarray) -> np.ndarray:
+    """Replace each quad by its axis-aligned bounding rectangle
+    (x_min,y_min)→(x_max,y_min)→(x_max,y_max)→(x_min,y_max)."""
+    if len(quads) == 0:
+        return quads
+    aligned = quads.copy()
+    coords = aligned[:, :8].reshape(-1, 4, 2)
+    x_min = coords[:, :, 0].min(axis=1)
+    x_max = coords[:, :, 0].max(axis=1)
+    y_min = coords[:, :, 1].min(axis=1)
+    y_max = coords[:, :, 1].max(axis=1)
+    rects = np.stack(
+        [x_min, y_min, x_max, y_min, x_max, y_max, x_min, y_max], axis=1
+    )
+    aligned[:, :8] = rects
+    return aligned
+
+
+def remove_fully_contained(quads: np.ndarray) -> np.ndarray:
+    """Drop any quad whose 4 vertices all lie inside a strictly larger kept
+    quad. Scans area-ascending so nested chains collapse to the outermost."""
+    if len(quads) <= 1:
+        return quads
+    coords = quads[:, :8].reshape(-1, 4, 2).astype(np.float64)
+    areas = polygon_area_batch(coords)
+    keep = np.ones(len(quads), dtype=bool)
+    order = np.argsort(areas)
+    for idx in order:
+        if not keep[idx]:
+            continue
+        inner = coords[idx]
+        inner_area = areas[idx]
+        for jdx in range(len(quads)):
+            if idx == jdx or not keep[jdx]:
+                continue
+            if areas[jdx] + 1e-6 < inner_area:
+                continue
+            if bool(np.all(point_in_polygon(inner, coords[jdx]))):
+                keep[idx] = False
+                break
+    return quads[keep]
+
+
+def remove_area_anomalies(
+    quads: np.ndarray,
+    sigma_threshold: float = 5.0,
+    min_box_count: int = 30,
+) -> np.ndarray:
+    """Drop quads whose area exceeds mean + sigma_threshold·std; inert when
+    the page has ≤ min_box_count boxes (too few for a stable distribution)."""
+    if len(quads) == 0 or len(quads) <= min_box_count:
+        return quads
+    coords = quads[:, :8].reshape(-1, 4, 2)
+    areas = polygon_area_batch(coords).astype(np.float32)
+    mean = float(np.mean(areas))
+    std = float(np.std(areas))
+    if std == 0.0:
+        return quads
+    keep = areas <= mean + sigma_threshold * std
+    if not np.any(keep):
+        return quads
+    return quads[keep]
+
+
+def quad_bbox_int(polygon: np.ndarray) -> tuple:
+    """Integer axis-aligned bbox (x_min, y_min, x_max, y_max) of a polygon."""
+    poly = np.asarray(polygon, dtype=np.int32)
+    x_min, y_min = np.min(poly, axis=0)
+    x_max, y_max = np.max(poly, axis=0)
+    return (int(x_min), int(y_min), int(x_max), int(y_max))

@@ -1,0 +1,160 @@
+"""Image IO and preprocessing.
+
+Host side: reading files (cv2 with PIL fallback — reference:
+src/manuscript/detectors/_east/utils.py:477-497) and the recognizer's
+aspect-preserving resize-and-pad onto a white canvas (reference:
+src/manuscript/recognizers/_trba/data/transforms.py:62-120 — eval-mode
+bit-parity matters because it feeds the released weights).
+
+Device side: JAX resize + normalize so the detector/recognizer forward can
+consume uint8 host arrays with a single host→device transfer.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is expected in this image
+    cv2 = None
+
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+ImageInput = Union[str, Path, np.ndarray, Image.Image]
+
+
+def read_image(img_or_path: ImageInput) -> np.ndarray:
+    """Load an image as an RGB uint8 ndarray; ndarray inputs pass through."""
+    if isinstance(img_or_path, (str, Path)):
+        path = str(img_or_path)
+        img = cv2.imread(path) if cv2 is not None else None
+        if img is None:
+            try:
+                with Image.open(path) as pil_img:
+                    return np.array(pil_img.convert("RGB"))
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"Cannot read image with cv2 or PIL: {path}. Error: {e}"
+                )
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if isinstance(img_or_path, Image.Image):
+        return np.array(img_or_path.convert("RGB"))
+    if isinstance(img_or_path, np.ndarray):
+        return img_or_path
+    raise TypeError(f"Unsupported type for image input: {type(img_or_path)}")
+
+
+def to_rgb_u8(img: np.ndarray) -> np.ndarray:
+    """Coerce gray / RGBA ndarrays to 3-channel RGB."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
+    return img
+
+
+def resize_and_pad(
+    img: np.ndarray,
+    img_h: int,
+    img_w: int,
+    align_h: str = "left",
+    align_v: str = "center",
+) -> np.ndarray:
+    """Aspect-preserving resize onto a white (255) canvas of (img_h, img_w).
+
+    INTER_AREA when shrinking, INTER_LINEAR when growing; the scaled image is
+    left-aligned horizontally and centered vertically by default, matching the
+    recognizer's eval transform in the reference.
+    """
+    img = to_rgb_u8(img)
+    h, w = img.shape[:2]
+    scale = min(img_h / max(h, 1), img_w / max(w, 1))
+    new_w = max(1, int(round(w * scale)))
+    new_h = max(1, int(round(h * scale)))
+
+    if cv2 is not None:
+        interp = cv2.INTER_AREA if (img_h < h or img_w < w) else cv2.INTER_LINEAR
+        resized = cv2.resize(img, (new_w, new_h), interpolation=interp)
+    else:  # pragma: no cover
+        resized = np.array(
+            Image.fromarray(img).resize((new_w, new_h), Image.BILINEAR)
+        )
+
+    canvas = np.full((img_h, img_w, 3), 255, dtype=img.dtype)
+    if align_h == "left":
+        x0 = 0
+    elif align_h == "right":
+        x0 = img_w - new_w
+    else:
+        x0 = (img_w - new_w) // 2
+    if align_v == "top":
+        y0 = 0
+    elif align_v == "bottom":
+        y0 = img_h - new_h
+    else:
+        y0 = (img_h - new_h) // 2
+    x0 = max(0, min(x0, img_w - new_w))
+    y0 = max(0, min(y0, img_h - new_h))
+    canvas[y0 : y0 + new_h, x0 : x0 + new_w] = resized
+    return canvas
+
+
+def normalize_u8(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [0,255] → (x/255 − 0.5)/0.5 in ``dtype`` (mean/std 0.5)."""
+    x = x.astype(dtype) / jnp.asarray(255.0, dtype)
+    return (x - 0.5) / 0.5
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize of an NHWC (or HWC) float tensor on device."""
+    if x.ndim == 3:
+        return jax.image.resize(x, (out_h, out_w, x.shape[-1]), method="bilinear")
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, out_h, out_w, c), method="bilinear")
+
+
+def detector_preprocess_host(img: np.ndarray, target_size: int) -> np.ndarray:
+    """Host resize to (target_size, target_size) RGB uint8 (cv2 default
+    bilinear, matching the reference's cv2.resize at infer time)."""
+    img = to_rgb_u8(img)
+    if cv2 is not None:
+        return cv2.resize(img, (target_size, target_size))
+    return np.array(  # pragma: no cover
+        Image.fromarray(img).resize((target_size, target_size), Image.BILINEAR)
+    )
+
+
+def crop_axis_aligned(image: np.ndarray, polygon: np.ndarray) -> Optional[np.ndarray]:
+    """Crop the axis-aligned bounding box of ``polygon`` from ``image``.
+
+    Mirrors the pipeline's crop semantics (reference:
+    src/manuscript/_pipeline.py:204-221): clamp to image bounds, return None
+    for empty crops. No perspective warp — the detector emits axis-aligned
+    quads by default.
+    """
+    try:
+        x_min, y_min = np.min(polygon, axis=0)
+        x_max, y_max = np.max(polygon, axis=0)
+        h, w = image.shape[:2]
+        x1 = max(0, int(x_min))
+        y1 = max(0, int(y_min))
+        x2 = min(w, int(x_max))
+        y2 = min(h, int(y_max))
+        region = image[y1:y2, x1:x2]
+        return region if region.size > 0 else None
+    except Exception:
+        return None
+
+
+def batch_resize_and_pad(
+    images: Sequence[np.ndarray], img_h: int, img_w: int
+) -> np.ndarray:
+    """Stack N variable-size crops into one (N, img_h, img_w, 3) uint8 batch."""
+    return np.stack([resize_and_pad(im, img_h, img_w) for im in images], axis=0)

@@ -1,0 +1,180 @@
+"""End-to-end OCR pipeline: detect → order → crop → recognize → attach.
+
+Public contract parity with the reference Pipeline (reference:
+src/manuscript/_pipeline.py:17-221 and docs/PIPELINE_API.md):
+
+* Detector duck-type: ``predict(image, vis=False, profile=False)`` may return
+  a dict with ``"page"``, a tuple whose first element is a Page, or a bare
+  Page.
+* Recognizer duck-type: ``predict(list_of_ndarrays)`` returning dicts with
+  ``text``/``confidence``, ``(text, confidence)`` tuples, or bare values.
+* ``process_batch`` is implemented correctly here (the reference's calls a
+  nonexistent method — SURVEY.md §7 quirks).
+
+Crops are axis-aligned bbox slices of each word polygon, identical to the
+reference (no perspective warp on the inference path).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Union
+
+import numpy as np
+from PIL import Image
+
+from .ops.image import crop_axis_aligned, read_image
+from .ops.boxes import quad_bbox_int
+from .ops.reading_order import reading_order_permutation
+from .utils.visualize import visualize_page
+
+
+class Pipeline:
+    def __init__(
+        self,
+        detector=None,
+        recognizer=None,
+        min_text_size: int = 5,
+    ):
+        """OCR pipeline over a pluggable detector + recognizer.
+
+        Passing None for either slot instantiates the default EAST / TRBA
+        (lazy import so contract tests with fakes never touch model code).
+        """
+        if detector is None:
+            from .detectors import EAST
+
+            detector = EAST()
+        if recognizer is None:
+            from .recognizers import TRBA
+
+            recognizer = TRBA()
+        self.detector = detector
+        self.recognizer = recognizer
+        self.min_text_size = min_text_size
+
+    def predict(
+        self,
+        image: Union[str, np.ndarray, Image.Image],
+        recognize_text: bool = True,
+        vis: bool = False,
+        profile: bool = False,
+    ):
+        start_time = time.time()
+
+        # ---- detection ----
+        t0 = time.time()
+        det_out = self.detector.predict(image, vis=False, profile=profile)
+        if isinstance(det_out, dict):
+            page = det_out.get("page")
+        elif isinstance(det_out, tuple):
+            page = det_out[0]
+        else:
+            page = det_out
+        if page is None:
+            raise RuntimeError("Detector did not return a Page result.")
+        if profile:
+            print(f"Detection: {time.time() - t0:.3f}s")
+
+        if not recognize_text:
+            if vis:
+                arr = read_image(image)
+                pil = image if isinstance(image, Image.Image) else Image.fromarray(arr)
+                return page, visualize_page(pil, page, show_order=False)
+            return page
+
+        # ---- load full-res page for crops ----
+        t0 = time.time()
+        image_array = read_image(image)
+        if profile:
+            print(f"Load image for crops: {time.time() - t0:.3f}s")
+
+        # ---- per-block reading order + crop extraction ----
+        t0 = time.time()
+        all_words = []
+        word_images = []
+        for block in page.blocks:
+            boxes = [
+                quad_bbox_int(np.asarray(w.polygon, dtype=np.int32))
+                for w in block.words
+            ]
+            perm = reading_order_permutation(boxes)
+            block.words = [block.words[i] for i in perm]
+
+            for word in block.words:
+                poly = np.asarray(word.polygon, dtype=np.int32)
+                x_min, y_min, x_max, y_max = quad_bbox_int(poly)
+                if (
+                    x_max - x_min >= self.min_text_size
+                    and y_max - y_min >= self.min_text_size
+                ):
+                    region = crop_axis_aligned(image_array, poly)
+                    if region is not None and region.size > 0:
+                        all_words.append(word)
+                        word_images.append(region)
+        if profile:
+            print(f"Extract {len(word_images)} crops: {time.time() - t0:.3f}s")
+
+        # ---- recognition ----
+        if word_images:
+            t0 = time.time()
+            recognition_results = self.recognizer.predict(word_images)
+            if profile:
+                print(f"Recognition: {time.time() - t0:.3f}s")
+
+            for word, result in zip(all_words, recognition_results):
+                if isinstance(result, dict):
+                    text = result.get("text", "")
+                    confidence = result.get("confidence", None)
+                elif isinstance(result, tuple) and len(result) == 2:
+                    text, confidence = result
+                else:
+                    text = str(result) if result is not None else ""
+                    confidence = None
+                word.text = text
+                word.recognition_confidence = confidence
+
+        if profile:
+            print(f"Pipeline total: {time.time() - start_time:.3f}s")
+
+        if vis:
+            pil = (
+                image
+                if isinstance(image, Image.Image)
+                else Image.fromarray(image_array)
+            )
+            return page, visualize_page(pil, page, show_order=True)
+        return page
+
+    def process_batch(
+        self,
+        images: List[Union[str, np.ndarray, Image.Image]],
+        recognize_text: bool = True,
+        vis: bool = False,
+        profile: bool = False,
+    ):
+        """Run ``predict`` over a list of pages, returning one Page each."""
+        results = []
+        for img in images:
+            res = self.predict(
+                img, recognize_text=recognize_text, vis=vis, profile=profile
+            )
+            results.append(res[0] if vis else res)
+        return results
+
+    def get_text(self, page) -> str:
+        """Join recognized words per block (x-sorted), blocks on new lines."""
+        lines = []
+        for block in page.blocks:
+            sorted_words = sorted(
+                block.words, key=lambda w: min(p[0] for p in w.polygon)
+            )
+            texts = [w.text for w in sorted_words if getattr(w, "text", None)]
+            if texts:
+                lines.append(" ".join(texts))
+        return "\n".join(lines)
+
+    def _extract_word_image(
+        self, image: np.ndarray, polygon: np.ndarray
+    ) -> Optional[np.ndarray]:
+        return crop_axis_aligned(image, polygon)
