@@ -1,0 +1,119 @@
+"""ResNet-50/101 feature extractor (Flax, NHWC).
+
+Architecture parity with the torchvision bottleneck ResNets the reference
+taps for its EAST backbone (reference: src/manuscript/detectors/_east/
+east.py:33-67): stem 7×7/2 + maxpool, four bottleneck stages at strides
+4/8/16/32, features returned after every stage. Explicit torch-style padding
+(not 'SAME') so converted weights are numerically exact.
+
+TPU notes: NHWC layout, bfloat16-able compute dtype, BatchNorm in inference
+mode folds into the surrounding convs under XLA fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+
+class Bottleneck(nn.Module):
+    """1×1 reduce → 3×3 (stride) → 1×1 expand(×4), residual add."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+        identity = x
+
+        out = nn.Conv(
+            self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(
+            self.planes,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(
+            self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(out)
+        out = bn("bn3")(out)
+
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="down_conv",
+            )(x)
+            identity = bn("down_bn")(identity)
+
+        return nn.relu(out + identity)
+
+
+class ResNetFeatures(nn.Module):
+    """Returns dict of stage outputs: res1 (C=256, /4) … res4 (C=2048, /32)."""
+
+    backbone: str = "resnet50"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        blocks = STAGE_BLOCKS[self.backbone]
+
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        feats = {}
+        planes = 64
+        for stage_idx, n_blocks in enumerate(blocks):
+            stride = 1 if stage_idx == 0 else 2
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_{b}",
+                )(x, train=train)
+            feats[f"res{stage_idx + 1}"] = x
+            planes *= 2
+        return feats

@@ -1,0 +1,87 @@
+"""TRBA recognizer model (Flax): SEResNet31 → height-pool → 2×BiLSTM →
+additive-attention LSTM decoder.
+
+Composition parity with the reference (reference:
+src/manuscript/recognizers/_trba/model/model.py:338-416): the CNN's feature
+map is mean-pooled over height (AdaptiveAvgPool2d((1,None)) equivalent),
+treated as a W-length sequence, passed through two stacked BiLSTM(→256)
+blocks, then decoded. Like the reference — and despite the historical name —
+there is no TPS spatial transformer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import AttentionDecoder
+from .rnn import BiLSTM
+from .seresnet31 import SEResNet31
+
+
+class TRBAModel(nn.Module):
+    num_classes: int
+    hidden_size: int = 256
+    sos_id: int = 1
+    eos_id: int = 2
+    pad_id: int = 0
+    blank_id: Optional[int] = None
+    enc_dropout_p: float = 0.1
+    dropblock_p: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.cnn = SEResNet31(
+            out_channels=512, dropblock_p=self.dropblock_p, dtype=self.dtype
+        )
+        self.enc_rnn1 = BiLSTM(self.hidden_size, self.hidden_size, dtype=self.dtype)
+        self.enc_rnn2 = BiLSTM(self.hidden_size, self.hidden_size, dtype=self.dtype)
+        self.decoder = AttentionDecoder(
+            enc_dim=self.hidden_size,
+            hidden_size=self.hidden_size,
+            num_classes=self.num_classes,
+            sos_id=self.sos_id,
+            eos_id=self.eos_id,
+            blank_id=self.blank_id,
+            dropout_p=0.1,
+            dtype=self.dtype,
+        )
+
+    def encode(self, x, train: bool = False):
+        """x: (B, H, W, 3) normalized floats → (B, W', hidden) sequence."""
+        f = self.cnn(x, train=train)  # (B, H', W', 512)
+        f = jnp.mean(f, axis=1)  # height pool → (B, W', 512)
+        f = self.enc_rnn1(f)
+        f = self.enc_rnn2(f)
+        if train and self.enc_dropout_p > 0:
+            f = nn.Dropout(rate=self.enc_dropout_p, deterministic=False,
+                           name="enc_dropout")(f)
+        return f
+
+    def __call__(self, x, text_in, train: bool = False):
+        """Teacher-forced training forward → logits (B, steps, V)."""
+        enc = self.encode(x, train=train)
+        return self.decoder(enc, text_in, train=train)
+
+    def greedy(self, x, max_len: int = 25):
+        enc = self.encode(x, train=False)
+        return self.decoder.greedy(enc, max_len=max_len)
+
+    def beam(
+        self,
+        x,
+        max_len: int = 25,
+        beam_size: int = 8,
+        alpha: float = 0.9,
+        temperature: float = 1.7,
+    ):
+        enc = self.encode(x, train=False)
+        return self.decoder.beam(
+            enc,
+            max_len=max_len,
+            beam_size=beam_size,
+            alpha=alpha,
+            temperature=temperature,
+        )

@@ -1,17 +1,23 @@
 """Test env: force CPU backend with 8 virtual devices so multi-chip sharding
 paths run everywhere (SURVEY.md §4 — the mesh tests the reference never had).
 
-Must run before jax is imported anywhere.
+The container pins JAX_PLATFORMS=axon (real TPU) via sitecustomize, and that
+registration wins over the env var — jax.config is the reliable override.
+Must run before any test module touches jax arrays.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
