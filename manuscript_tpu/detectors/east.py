@@ -1,0 +1,262 @@
+"""EAST detector — user-facing wrapper with a fused device inference path.
+
+API parity with the reference wrapper (reference:
+src/manuscript/detectors/_east/infer.py:28-402): same constructor knobs
+(target_size, expand ratios, score/iou thresholds, quantization,
+axis-aligned output, anomaly filtering) and the same ``predict`` return dict
+{"page", "vis_image", "score_map", "geo_map"}.
+
+TPU-native pipeline per call:
+  host: read + resize to target² uint8                       (1 transfer in)
+  device (one jit): normalize → backbone/decoder/head → cell decode
+         (threshold-any + quantized center sampling + vertex math)
+  host: compact valid cells → C++ LANMS → expand → rescale → containment &
+        anomaly filters → axis-align → Page                  (1 transfer out)
+
+The only host↔device traffic is the input image and the fixed-shape decoded
+candidate tensors; the per-pixel Python decode loop and Numba NMS of the
+reference are replaced by the fused device program + native host kernel.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.serialization
+
+from ..models.east import EASTModel
+from ..ops.boxes import (
+    expand_boxes,
+    quad_bbox_int,
+    remove_area_anomalies,
+    remove_fully_contained,
+    scale_boxes,
+    to_axis_aligned,
+)
+from ..ops.decode import compact_topk, decode_cells_jax, topk_candidates
+from ..ops.image import detector_preprocess_host, read_image
+from ..ops.lanms import locality_aware_nms
+from ..ops.reading_order import reading_order_permutation
+from ..types import Block, Page, Word
+from ..utils.visualize import visualize_page
+
+DEFAULT_CACHE = Path.home() / ".manuscript_tpu" / "east"
+
+
+class EAST:
+    def __init__(
+        self,
+        weights_path: Optional[Union[str, Path]] = None,
+        device: Optional[str] = None,
+        target_size: int = 1280,
+        expand_ratio_w: float = 0.9,
+        expand_ratio_h: float = 0.9,
+        score_thresh: float = 0.6,
+        iou_threshold: float = 0.2,
+        score_geo_scale: float = 0.25,
+        quantization: int = 2,
+        axis_aligned_output: bool = True,
+        remove_area_anomalies: bool = True,
+        anomaly_sigma_threshold: float = 5.0,
+        anomaly_min_box_count: int = 30,
+        backbone: str = "resnet50",
+        dtype: Any = jnp.bfloat16,
+        max_candidates: int = 8192,
+    ):
+        """Text detector. ``dtype`` is the backbone compute dtype (bfloat16
+        rides the MXU; score/geometry heads always emit float32)."""
+        self.device = device  # API-compat; JAX owns placement
+        self.target_size = target_size
+        self.score_geo_scale = score_geo_scale
+        self.expand_ratio_w = expand_ratio_w
+        self.expand_ratio_h = expand_ratio_h
+        self.score_thresh = score_thresh
+        self.iou_threshold = iou_threshold
+        self.quantization = quantization
+        self.axis_aligned_output = axis_aligned_output
+        self.remove_area_anomalies = remove_area_anomalies
+        self.anomaly_sigma_threshold = anomaly_sigma_threshold
+        self.anomaly_min_box_count = anomaly_min_box_count
+        self.backbone = backbone
+        self.max_candidates = max_candidates
+
+        self.model = EASTModel(backbone=backbone, dtype=dtype)
+
+        if weights_path is not None and not os.path.exists(str(weights_path)):
+            raise FileNotFoundError(f"Weights not found: {weights_path}")
+        if weights_path is None:
+            weights_path = self._find_cached_weights()
+        self.weights_path = weights_path
+        self.variables = jax.device_put(self._load_variables())
+        self._infer_fn = None
+        self._infer_fn_maps = None
+        # absorb the link's one-time d2h handshake at construction, not at
+        # the first predict() (it can take seconds on the tunnel)
+        np.asarray(jax.device_put(np.zeros((16,), np.float32)))
+
+    # ------------------------------------------------------------------
+
+    def _find_cached_weights(self) -> Optional[str]:
+        if not DEFAULT_CACHE.exists():
+            return None
+        for pattern in ("**/*.msgpack", "**/*.pth"):
+            hits = sorted(DEFAULT_CACHE.glob(pattern))
+            if hits:
+                return str(hits[0])
+        return None
+
+    def _init_variables(self):
+        # init on host CPU (fast tracing, no per-op tunnel dispatch), then a
+        # single bulk transfer puts the params on the accelerator
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 64, 64, 3), jnp.float32),
+            )
+
+    def _load_variables(self):
+        init_vars = self._init_variables()
+        if self.weights_path is None:
+            print(
+                "[EAST] no checkpoint found — using random initialization. "
+                "Pass weights_path= to load weights."
+            )
+            return init_vars
+        if str(self.weights_path).endswith(".pth"):
+            from ..utils.convert import convert_east, load_torch_state_dict, merge_converted
+
+            state = load_torch_state_dict(str(self.weights_path))
+            return merge_converted(init_vars, convert_east(state, self.backbone))
+        with open(self.weights_path, "rb") as f:
+            return flax.serialization.from_bytes(init_vars, f.read())
+
+    def save(self, path: str) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(self.variables))
+
+    # ------------------------------------------------------------------
+
+    def _get_infer_fn(self, with_maps: bool):
+        cached = self._infer_fn_maps if with_maps else self._infer_fn
+        if cached is not None:
+            return cached
+        model = self.model
+        q = self.quantization
+        scale = 1.0 / self.score_geo_scale
+        max_cands = self.max_candidates
+
+        @jax.jit
+        def fn(variables, u8_img, score_thresh):
+            x = (u8_img.astype(model.dtype) / 255.0 - 0.5) / 0.5
+            out = model.apply(variables, x[None])
+            score = out["score"][0, :, :, 0]  # (H/4, W/4) f32
+            geo = out["geometry"][0]  # (H/4, W/4, 8) f32
+            quads, scores, valid = decode_cells_jax(
+                score, geo, score_thresh, quantization=q, scale=scale
+            )
+            cands = topk_candidates(quads, scores, valid, max_cands)
+            if with_maps:
+                return cands, score, geo
+            return cands
+
+        if with_maps:
+            self._infer_fn_maps = fn
+        else:
+            self._infer_fn = fn
+        return fn
+
+    def predict(
+        self,
+        img_or_path: Union[str, Path, np.ndarray],
+        vis: bool = False,
+        profile: bool = False,
+        return_maps: bool = False,
+        sort_reading_order: bool = False,
+    ) -> Dict[str, Any]:
+        """Detect text → {"page", "vis_image", "score_map", "geo_map"}."""
+        img = read_image(img_or_path)
+        resized = detector_preprocess_host(img, self.target_size)
+
+        t0 = time.time()
+        fn = self._get_infer_fn(with_maps=return_maps)
+        if return_maps:
+            cands_d, score_map_d, geo_map_d = fn(
+                self.variables, jnp.asarray(resized), jnp.float32(self.score_thresh)
+            )
+        else:
+            cands_d = fn(
+                self.variables, jnp.asarray(resized), jnp.float32(self.score_thresh)
+            )
+            score_map_d = geo_map_d = None
+        cands_np = np.asarray(cands_d)  # single compact d2h transfer
+        if profile:
+            print(f"  Model inference + decode: {time.time() - t0:.3f}s")
+
+        t0 = time.time()
+        candidates = compact_topk(cands_np)
+        nms_quads = locality_aware_nms(candidates, self.iou_threshold)
+        if profile:
+            print(f"  NMS: {time.time() - t0:.3f}s")
+            print(f"    Candidates: {len(candidates)}, after NMS: {len(nms_quads)}")
+
+        expanded = expand_boxes(
+            nms_quads, expand_w=self.expand_ratio_w, expand_h=self.expand_ratio_h
+        )
+        orig_h, orig_w = img.shape[:2]
+        scaled = scale_boxes(expanded, self.target_size, orig_h, orig_w)
+
+        processed = remove_fully_contained(scaled)
+        if self.remove_area_anomalies:
+            processed = remove_area_anomalies(
+                processed,
+                sigma_threshold=self.anomaly_sigma_threshold,
+                min_box_count=self.anomaly_min_box_count,
+            )
+        output_quads = (
+            to_axis_aligned(processed) if self.axis_aligned_output else processed
+        )
+
+        words = [
+            Word(
+                polygon=quad[:8].reshape(4, 2).tolist(),
+                detection_confidence=float(np.clip(quad[8], 0.0, 1.0)),
+            )
+            for quad in output_quads
+        ]
+
+        if sort_reading_order and words:
+            boxes = [
+                quad_bbox_int(np.asarray(w.polygon, dtype=np.int32)) for w in words
+            ]
+            perm = reading_order_permutation(boxes)
+            words = [words[i] for i in perm]
+
+        page = Page(blocks=[Block(words=words)])
+        vis_img = visualize_page(img, page, show_order=False) if vis else None
+
+        return {
+            "page": page,
+            "vis_image": vis_img,
+            "score_map": np.asarray(score_map_d) if return_maps else None,
+            "geo_map": (
+                np.asarray(geo_map_d).transpose(2, 0, 1) if return_maps else None
+            ),
+        }
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def train(*args, **kwargs):
+        """High-level training entrypoint; see train/east_train.py."""
+        from ..train.east_train import train as _train
+
+        return _train(*args, **kwargs)

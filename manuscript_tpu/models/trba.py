@@ -38,6 +38,7 @@ class TRBAModel(nn.Module):
         )
         self.enc_rnn1 = BiLSTM(self.hidden_size, self.hidden_size, dtype=self.dtype)
         self.enc_rnn2 = BiLSTM(self.hidden_size, self.hidden_size, dtype=self.dtype)
+        self.enc_dropout = nn.Dropout(rate=self.enc_dropout_p)
         self.decoder = AttentionDecoder(
             enc_dim=self.hidden_size,
             hidden_size=self.hidden_size,
@@ -55,9 +56,8 @@ class TRBAModel(nn.Module):
         f = jnp.mean(f, axis=1)  # height pool → (B, W', 512)
         f = self.enc_rnn1(f)
         f = self.enc_rnn2(f)
-        if train and self.enc_dropout_p > 0:
-            f = nn.Dropout(rate=self.enc_dropout_p, deterministic=False,
-                           name="enc_dropout")(f)
+        if self.enc_dropout_p > 0:
+            f = self.enc_dropout(f, deterministic=not train)
         return f
 
     def __call__(self, x, text_in, train: bool = False):

@@ -1,0 +1,82 @@
+"""Device mesh and sharding helpers (the scale-out layer the reference
+never had — SURVEY.md §2.6/§5.8).
+
+The workload is embarrassingly batch-parallel (pages / crops), so the
+baseline mesh is 1-D over the batch axis with gradient all-reduce riding ICI
+inside XLA. Axis names are fixed ("data", "model") so a tensor-parallel axis
+can be added later without API change; multi-host joins the same mesh via
+``jax.distributed.initialize`` (call ``initialize_distributed`` first on
+each host).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up; no-op when already initialized or single-host."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """(data × model) mesh over the first n_devices devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch-sharded: leading axis over 'data', rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place (a pytree of) host arrays batch-sharded on the mesh. Leading
+    dims must divide the data-axis size."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate (a pytree of) arrays across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(
+    arr: np.ndarray, multiple: int, axis: int = 0, fill=0
+) -> Tuple[np.ndarray, int]:
+    """Pad ``axis`` up to a multiple (for even sharding); returns (padded,
+    original_length)."""
+    n = arr.shape[axis]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return arr, n
+    pad_widths = [(0, 0)] * arr.ndim
+    pad_widths[axis] = (0, target - n)
+    return np.pad(arr, pad_widths, constant_values=fill), n

@@ -1,0 +1,295 @@
+"""TRBA recognizer — user-facing wrapper with a jit-compiled decode path.
+
+API parity with the reference wrapper (reference:
+src/manuscript/recognizers/_trba/__init__.py:37-434): constructor takes
+model/charset/config paths, ``predict`` takes one image or a list and returns
+``[{"text": str, "confidence": float}]`` with default beam decoding
+(beam 8, temperature 1.7, alpha 0.9).
+
+TPU-native differences:
+* the whole decode (CNN → BiLSTM → attention beam/greedy) is ONE jitted
+  program per (batch, mode, beam) signature; partial batches are padded to
+  the bucket size so no recompilation happens at serve time;
+* confidence = mean over exp(log-softmax) at the predicted ids, masked to
+  each row's steps up to and including its first EOS. (The reference
+  averages over however many steps the whole batch happened to run, which
+  couples one image's confidence to its batchmates; we deliberately make it
+  batch-independent.)
+* weights: native .msgpack checkpoints or converted torch .pth files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.serialization
+
+from ..models.trba import TRBAModel
+from ..ops.image import read_image, resize_and_pad, to_rgb_u8
+from .charset import (
+    BLANK_TOKEN,
+    EOS_TOKEN,
+    PAD_TOKEN,
+    SOS_TOKEN,
+    decode_tokens,
+    default_charset,
+    load_charset,
+)
+
+DEFAULT_CACHE = Path.home() / ".manuscript_tpu" / "trba"
+
+
+class TRBA:
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        charset_path: Optional[str] = None,
+        config_path: Optional[str] = None,
+        device: str = "auto",
+        dtype: Any = jnp.float32,
+        **kwargs: Any,
+    ):
+        """Text recognizer.
+
+        model_path: native ``.msgpack`` checkpoint or torch ``.pth`` (converted
+        on load). None → look in ``~/.manuscript_tpu/trba``; if nothing is
+        found the model starts randomly initialized (zero-egress environments
+        have no weight download) with a warning.
+        """
+        weights_path = kwargs.pop("weights_path", None)
+        if kwargs:
+            raise TypeError(f"Unexpected keyword argument(s): {', '.join(kwargs)}")
+        if weights_path is not None and model_path is not None:
+            if os.path.abspath(os.fspath(weights_path)) != os.path.abspath(
+                os.fspath(model_path)
+            ):
+                raise ValueError(
+                    "Provide either model_path or weights_path, not both."
+                )
+        model_path = model_path or weights_path
+
+        if model_path is not None and not os.path.exists(model_path):
+            raise FileNotFoundError(f"Model checkpoint not found: {model_path}")
+        if model_path is None:
+            model_path = self._find_cached_weights()
+
+        if config_path is None and model_path is not None:
+            config_path = self._infer_config_path(model_path)
+        if config_path is not None and not os.path.exists(config_path):
+            raise FileNotFoundError(f"Config file not found: {config_path}")
+
+        config = {}
+        if config_path is not None:
+            with open(config_path, "r", encoding="utf-8") as f:
+                config = json.load(f)
+
+        self.model_path = model_path
+        self.config_path = config_path
+        self.max_length = config.get("max_len", 25)
+        self.hidden_size = config.get("hidden_size", 256)
+        self.img_h = config.get("img_h", 64)
+        self.img_w = config.get("img_w", 256)
+        self.dtype = dtype
+        self.device = device  # API-compat; JAX owns placement
+
+        if charset_path is not None:
+            if not os.path.exists(charset_path):
+                raise FileNotFoundError(f"Charset file not found: {charset_path}")
+            self.itos, self.stoi = load_charset(charset_path)
+        else:
+            self.itos = default_charset()
+            self.stoi = {s: i for i, s in enumerate(self.itos)}
+        self.charset_path = charset_path
+
+        self.pad_id = self.stoi[PAD_TOKEN]
+        self.sos_id = self.stoi[SOS_TOKEN]
+        self.eos_id = self.stoi[EOS_TOKEN]
+        self.blank_id = self.stoi.get(BLANK_TOKEN)
+
+        self.model = TRBAModel(
+            num_classes=len(self.itos),
+            hidden_size=self.hidden_size,
+            sos_id=self.sos_id,
+            eos_id=self.eos_id,
+            pad_id=self.pad_id,
+            blank_id=self.blank_id,
+            dtype=dtype,
+        )
+        self.variables = jax.device_put(self._load_variables())
+        self._decode_fns: Dict[tuple, Any] = {}
+        # absorb the link's one-time d2h handshake at construction
+        np.asarray(jax.device_put(np.zeros((16,), np.float32)))
+
+    # ------------------------------------------------------------------
+
+    def _find_cached_weights(self) -> Optional[str]:
+        if not DEFAULT_CACHE.exists():
+            return None
+        for pattern in ("**/*.msgpack", "**/*.pth"):
+            hits = sorted(DEFAULT_CACHE.glob(pattern))
+            if hits:
+                return str(hits[0])
+        return None
+
+    @staticmethod
+    def _infer_config_path(weights_path: str) -> Optional[str]:
+        wf = Path(weights_path)
+        for cand in (wf.with_suffix(".json"), wf.parent / "config.json"):
+            if cand.exists():
+                return os.fspath(cand)
+        return None
+
+    def _init_variables(self):
+        # init on host CPU, then one bulk transfer to the accelerator
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, self.img_h, self.img_w, 3), self.dtype),
+                jnp.zeros((1, self.max_length + 1), jnp.int32),
+            )
+
+    def _load_variables(self):
+        init_vars = self._init_variables()
+        if self.model_path is None:
+            print(
+                "[TRBA] no checkpoint found — using random initialization. "
+                "Pass model_path= to load weights."
+            )
+            return init_vars
+        if str(self.model_path).endswith(".pth"):
+            from ..utils.convert import convert_trba, load_torch_state_dict, merge_converted
+
+            state = load_torch_state_dict(self.model_path)
+            return merge_converted(init_vars, convert_trba(state))
+        with open(self.model_path, "rb") as f:
+            return flax.serialization.from_bytes(init_vars, f.read())
+
+    def save(self, path: str) -> None:
+        """Serialize variables to a native .msgpack checkpoint."""
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(self.variables))
+
+    # ------------------------------------------------------------------
+
+    def _preprocess_one(self, image) -> np.ndarray:
+        if isinstance(image, (str, Path)):
+            if not os.path.exists(str(image)):
+                raise FileNotFoundError(f"Image file not found: {image}")
+            img = read_image(image)
+        else:
+            img = to_rgb_u8(np.asarray(read_image(image)))
+        return resize_and_pad(img, self.img_h, self.img_w)
+
+    def _get_decode_fn(self, mode, batch, beam_size, alpha, temperature):
+        sig = (mode, batch, beam_size, round(alpha, 6), round(temperature, 6))
+        if sig in self._decode_fns:
+            return self._decode_fns[sig]
+
+        model, max_len, eos_id = self.model, self.max_length, self.eos_id
+
+        def finish(logits, preds):
+            """On-device confidence: mean exp(log-softmax at predicted ids)
+            over each row's steps up to and incl. its first EOS. Keeps the
+            device→host transfer to (B,T) ids + (B,) floats."""
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            token_lp = jnp.take_along_axis(log_probs, preds[..., None], -1)[..., 0]
+            t = preds.shape[1]
+            is_eos = preds == eos_id
+            has_eos = jnp.any(is_eos, axis=1)
+            first_eos = jnp.argmax(is_eos, axis=1)
+            upto = jnp.where(has_eos, first_eos + 1, t)
+            mask = jnp.arange(t)[None, :] < upto[:, None]
+            conf = jnp.sum(jnp.exp(token_lp) * mask, axis=1) / jnp.maximum(upto, 1)
+            return preds, conf
+
+        if mode == "greedy":
+
+            @jax.jit
+            def fn(variables, u8_batch):
+                x = (u8_batch.astype(model.dtype) / 255.0 - 0.5) / 0.5
+                logits, preds = model.apply(
+                    variables, x, max_len=max_len, method="greedy"
+                )
+                return finish(logits, preds)
+
+        elif mode == "beam":
+
+            @jax.jit
+            def fn(variables, u8_batch):
+                x = (u8_batch.astype(model.dtype) / 255.0 - 0.5) / 0.5
+                logits, preds = model.apply(
+                    variables,
+                    x,
+                    max_len=max_len,
+                    beam_size=beam_size,
+                    alpha=alpha,
+                    temperature=temperature,
+                    method="beam",
+                )
+                return finish(logits, preds)
+
+        else:
+            raise ValueError(f"Unknown mode: {mode}")
+
+        self._decode_fns[sig] = fn
+        return fn
+
+    def predict(
+        self,
+        images: Union[Any, List[Any]],
+        batch_size: int = 32,
+        mode: str = "beam",
+        beam_size: int = 8,
+        temperature: float = 1.7,
+        alpha: float = 0.9,
+    ) -> List[Dict[str, Any]]:
+        """Recognize one image or a list → [{"text", "confidence"}]."""
+        if mode not in ("beam", "greedy"):
+            raise ValueError(f"Unknown mode: {mode}")
+        images_list = images if isinstance(images, list) else [images]
+        if not images_list:
+            return []
+
+        fn = self._get_decode_fn(mode, batch_size, beam_size, alpha, temperature)
+        results: List[Dict[str, Any]] = []
+
+        for i in range(0, len(images_list), batch_size):
+            chunk = images_list[i : i + batch_size]
+            batch = np.stack([self._preprocess_one(im) for im in chunk])
+            n = batch.shape[0]
+            if n < batch_size:  # pad to the jit bucket — no recompiles
+                pad = np.full(
+                    (batch_size - n, self.img_h, self.img_w, 3), 255, np.uint8
+                )
+                batch = np.concatenate([batch, pad], axis=0)
+
+            pred_ids, confs = fn(self.variables, jnp.asarray(batch))
+            pred_ids = np.asarray(pred_ids)[:n]
+            confs = np.asarray(confs)[:n]
+
+            for j in range(n):
+                text = decode_tokens(
+                    pred_ids[j], self.itos, self.pad_id, self.eos_id, self.blank_id
+                )
+                results.append(
+                    {"text": text, "confidence": float(np.clip(confs[j], 0.0, 1.0))}
+                )
+        return results
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def train(*args, **kwargs):
+        """High-level training entrypoint; see train/trba_train.py."""
+        from ..train.trba_train import train as _train
+
+        return _train(*args, **kwargs)

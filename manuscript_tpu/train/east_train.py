@@ -1,0 +1,503 @@
+"""EAST training loop — jit-compiled SPMD train step over a device mesh.
+
+Capability parity with the reference trainer (reference:
+src/manuscript/detectors/_east/train_utils.py:30-462 and infer.py:404-715):
+SAM(SGD)/RAdam+Lookahead, cosine warm restarts, dice+L1 loss with
+focal-geo/OHEM, multiscale, working EMA (the reference's use_ema path
+crashes — SURVEY.md §7), per-dataset validation loss + soft dice, early
+stopping, TensorBoard scalars + GT/pred collages, best/last/full-state
+checkpoints with resume.
+
+TPU-first design:
+* ONE jitted train step (SAM's two grad passes included) per input
+  resolution; multiscale cycles a small static set of resolutions so each
+  compiles once;
+* batch is sharded over the mesh's data axis, params replicated — XLA
+  inserts the gradient all-reduce over ICI;
+* the scheduler is stepped per optimizer update (the reference's
+  epoch+batch_size/len(loader) stepping is a bug we fix — SURVEY.md §7);
+* bf16 compute optional; master weights stay f32.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.east import EASTModel
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .east_dataset import ConcatDataset, EASTDataset, batch_iterator
+from .losses import east_loss, soft_dice_coefficient
+from .optim import build_east_optimizer, ema_update, sam_gradient
+
+MULTISCALE_FACTORS = (0.8, 0.9, 1.0, 1.1, 1.2)
+
+
+def _snap32(x: float) -> int:
+    return max(32, int(round(x / 32)) * 32)
+
+
+def _as_list(x) -> List:
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+class EASTTrainState:
+    """Full resume state: params/batch_stats/opt/EMA/progress counters."""
+
+    def __init__(self, params, batch_stats, opt_state, ema_params, epoch=0,
+                 global_step=0, best_val_loss=float("inf"), patience=0):
+        self.params = params
+        self.batch_stats = batch_stats
+        self.opt_state = opt_state
+        self.ema_params = ema_params
+        self.epoch = epoch
+        self.global_step = global_step
+        self.best_val_loss = best_val_loss
+        self.patience = patience
+
+    def serialize(self) -> bytes:
+        payload = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "ema_params": self.ema_params,
+            "meta": {
+                "epoch": self.epoch,
+                "global_step": self.global_step,
+                "best_val_loss": self.best_val_loss,
+                "patience": self.patience,
+            },
+        }
+        return flax.serialization.to_bytes(payload)
+
+    def load(self, data: bytes) -> "EASTTrainState":
+        """Tolerant restore: optimizer-state mismatch (e.g. the resume run
+        changed optimizers) degrades to a weights-only resume instead of
+        failing — same robustness contract as the reference's resume path."""
+        raw = flax.serialization.msgpack_restore(data)
+
+        def restore(template, blob):
+            return flax.serialization.from_state_dict(template, blob)
+
+        self.params = restore(self.params, raw["params"])
+        self.batch_stats = restore(self.batch_stats, raw["batch_stats"])
+        for field, attr in (("opt_state", "opt_state"), ("ema_params", "ema_params")):
+            try:
+                setattr(self, attr, restore(getattr(self, attr), raw[field]))
+            except (ValueError, KeyError) as e:
+                print(f"[EAST.train] {field} restore failed ({e}); keeping fresh")
+        meta = raw["meta"]
+        self.epoch = int(meta["epoch"])
+        self.global_step = int(meta["global_step"])
+        self.best_val_loss = float(meta["best_val_loss"])
+        self.patience = int(meta["patience"])
+        return self
+
+
+def _freeze_mask(params, freeze_first: bool):
+    """True → trainable. Freezes conv1/bn1/layer1 of the backbone."""
+    frozen_prefixes = ("conv1", "bn1", "layer1_")
+
+    def mask_fn(path, _):
+        if not freeze_first:
+            return True
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if keys and keys[0] == "backbone" and any(
+            str(keys[1]).startswith(pfx) for pfx in frozen_prefixes
+        ):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_train_step(
+    model: EASTModel,
+    tx: optax.GradientTransformation,
+    use_sam: bool,
+    sam_adaptive: bool,
+    use_ohem: bool,
+    ohem_ratio: float,
+    use_focal_geo: bool,
+    focal_gamma: float,
+    ema_decay: float = 0.999,
+    use_ema: bool = False,
+):
+    """Build the jitted SPMD train step. Batch: image u8 NHWC, score (B,h,w),
+    geo (B,h,w,8). Returns (new_params, new_bs, new_opt, new_ema, loss)."""
+
+    def loss_fn(params, batch_stats, image_u8, gt_score, gt_geo):
+        x = (image_u8.astype(model.dtype) / 255.0 - 0.5) / 0.5
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        pred_score = out["score"][..., 0]
+        pred_geo = out["geometry"]
+        # pred maps may differ from GT map size under multiscale — resize
+        gh, gw = gt_score.shape[1], gt_score.shape[2]
+        if pred_score.shape[1] != gh or pred_score.shape[2] != gw:
+            pred_score = jax.image.resize(
+                pred_score, (pred_score.shape[0], gh, gw), "bilinear"
+            )
+            pred_geo = jax.image.resize(
+                pred_geo, (pred_geo.shape[0], gh, gw, 8), "bilinear"
+            )
+        loss = east_loss(
+            gt_score, pred_score, gt_geo, pred_geo,
+            use_ohem=use_ohem, ohem_ratio=ohem_ratio,
+            use_focal_geo=use_focal_geo, focal_gamma=focal_gamma,
+        )
+        return loss, mutated["batch_stats"]
+
+    def _step_core(params, batch_stats, opt_state, ema_params, image, score, geo):
+        if use_sam:
+            # two grad evals at one jit level: ascent perturbation + descent
+            def pure_loss(p, bs, im, sc, ge):
+                return loss_fn(p, bs, im, sc, ge)[0]
+
+            loss, grads = sam_gradient(
+                pure_loss, params, batch_stats, image, score, geo,
+                rho=0.05, adaptive=sam_adaptive,
+            )
+            # batch_stats updated once at the unperturbed point
+            _, new_bs = loss_fn(params, batch_stats, image, score, geo)
+        else:
+            (loss, new_bs), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch_stats, image, score, geo),
+                has_aux=True,
+            )(params)
+
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_ema = (
+            ema_update(ema_params, new_params, ema_decay)
+            if use_ema
+            else ema_params
+        )
+        return new_params, new_bs, new_opt, new_ema, loss
+
+    if use_ema:
+
+        @partial(jax.jit, donate_argnums=(0, 2, 3))
+        def train_step(params, batch_stats, opt_state, ema_params, image, score, geo):
+            return _step_core(
+                params, batch_stats, opt_state, ema_params, image, score, geo
+            )
+
+    else:
+        # EMA off: ema_params would alias params (donated) — keep it out of
+        # the compiled call entirely and thread it through unchanged
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def _step_noema(params, batch_stats, opt_state, image, score, geo):
+            p, bs, opt, _, loss = _step_core(
+                params, batch_stats, opt_state, params, image, score, geo
+            )
+            return p, bs, opt, loss
+
+        def train_step(params, batch_stats, opt_state, ema_params, image, score, geo):
+            p, bs, opt, loss = _step_noema(
+                params, batch_stats, opt_state, image, score, geo
+            )
+            return p, bs, opt, p, loss
+
+    return train_step
+
+
+def make_eval_step(model: EASTModel):
+    @jax.jit
+    def eval_step(params, batch_stats, image, score, geo):
+        x = (image.astype(model.dtype) / 255.0 - 0.5) / 0.5
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        pred_score = out["score"][..., 0]
+        pred_geo = out["geometry"]
+        loss = east_loss(score, pred_score, geo, pred_geo)
+        dice = soft_dice_coefficient(score, pred_score)
+        return loss, dice, pred_score, pred_geo
+
+    return eval_step
+
+
+def _resolve_resume_path(resume_from: Union[str, Path]) -> Optional[Path]:
+    """Accept an experiment dir, its checkpoints dir, or a state file."""
+    p = Path(resume_from)
+    if p.is_file():
+        return p
+    for cand in (p / "last_state.msgpack", p / "checkpoints" / "last_state.msgpack"):
+        if cand.exists():
+            return cand
+    return None
+
+
+def train(
+    train_images: Union[str, Path, Sequence],
+    train_anns: Union[str, Path, Sequence],
+    val_images: Union[str, Path, Sequence],
+    val_anns: Union[str, Path, Sequence],
+    *,
+    experiment_root: str = "./experiments",
+    model_name: str = "resnet_quad",
+    backbone: str = "resnet101",
+    pretrained_backbone: bool = False,
+    freeze_first: bool = True,
+    target_size: int = 1024,
+    score_geo_scale: Optional[float] = None,
+    epochs: int = 500,
+    batch_size: int = 3,
+    lr: float = 1e-3,
+    grad_clip: float = 5.0,
+    early_stop: int = 100,
+    use_sam: bool = True,
+    sam_type: str = "asam",
+    use_lookahead: bool = True,
+    use_ema: bool = False,
+    ema_decay: float = 0.999,
+    use_multiscale: bool = True,
+    use_ohem: bool = True,
+    ohem_ratio: float = 0.5,
+    use_focal_geo: bool = True,
+    focal_gamma: float = 2.0,
+    resume_from: Optional[Union[str, Path]] = None,
+    val_interval: int = 1,
+    device=None,
+    mesh=None,
+    n_devices: Optional[int] = None,
+    log_tensorboard: bool = True,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """High-level EAST training. Returns {"params", "batch_stats",
+    "best_val_loss", "exp_dir"}.
+
+    ``pretrained_backbone`` is accepted for API parity; ImageNet torchvision
+    weights can be supplied by converting a torch checkpoint instead (this
+    environment has no weight downloads).
+    """
+    del device  # JAX owns placement; kept for API parity
+    score_geo_scale = score_geo_scale or 0.25
+
+    exp_dir = Path(experiment_root) / model_name
+    ckpt_dir = exp_dir / "checkpoints"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---- datasets ----
+    train_sets = [
+        EASTDataset(im, an, target_size=target_size,
+                    score_geo_scale=score_geo_scale, augment=True, seed=seed + i)
+        for i, (im, an) in enumerate(zip(_as_list(train_images), _as_list(train_anns)))
+    ]
+    val_sets = [
+        EASTDataset(im, an, target_size=target_size,
+                    score_geo_scale=score_geo_scale, augment=False)
+        for im, an in zip(_as_list(val_images), _as_list(val_anns))
+    ]
+    train_ds = ConcatDataset(train_sets)
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+
+    # ---- model / optimizer ----
+    model = EASTModel(backbone=backbone, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    tx, schedule = build_east_optimizer(
+        lr, steps_per_epoch, use_sam=use_sam,
+        use_lookahead=use_lookahead, grad_clip=grad_clip,
+    )
+    if freeze_first:
+        tx = optax.masked(tx, _freeze_mask(params, True))
+    opt_state = tx.init(params)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params) if use_ema else params
+
+    state = EASTTrainState(params, batch_stats, opt_state, ema_params)
+
+    if resume_from is not None:
+        rp = _resolve_resume_path(resume_from)
+        if rp is not None:
+            state.load(rp.read_bytes())
+            print(f"[EAST.train] resumed from {rp} at epoch {state.epoch}")
+        else:
+            print(f"[EAST.train] resume requested but no state found at {resume_from}")
+
+    # ---- mesh ----
+    if mesh is None:
+        mesh = make_mesh(n_devices=n_devices)
+    n_data = mesh.shape["data"]
+    state.params = replicate(state.params, mesh)
+    state.batch_stats = replicate(state.batch_stats, mesh)
+    state.opt_state = replicate(state.opt_state, mesh)
+    state.ema_params = replicate(state.ema_params, mesh)
+
+    train_step = make_train_step(
+        model, tx, use_sam, sam_type == "asam", use_ohem, ohem_ratio,
+        use_focal_geo, focal_gamma, ema_decay, use_ema,
+    )
+    eval_step = make_eval_step(model)
+
+    writer = None
+    if log_tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(log_dir=str(exp_dir / "tb"))
+        except Exception:
+            writer = None
+
+    ms_rng = np.random.default_rng(seed)
+
+    def prep_batch(batch, scale: float = 1.0):
+        img = batch["image"]
+        if scale != 1.0:
+            import cv2
+
+            side = _snap32(img.shape[1] * scale)
+            img = np.stack(
+                [cv2.resize(im, (side, side)) for im in img], axis=0
+            )
+        n = img.shape[0]
+        if n % n_data != 0:  # pad batch for even sharding
+            pad = (-n) % n_data
+            img = np.concatenate([img, img[:pad]], axis=0)
+            batch = {
+                "score": np.concatenate([batch["score"], batch["score"][:pad]]),
+                "geo": np.concatenate([batch["geo"], batch["geo"][:pad]]),
+            }
+        else:
+            batch = {"score": batch["score"], "geo": batch["geo"]}
+        return shard_batch(
+            {"image": img, "score": batch["score"], "geo": batch["geo"]}, mesh
+        )
+
+    history = []
+    for epoch in range(state.epoch, epochs):
+        t_epoch = time.time()
+        losses = []
+        for batch in batch_iterator(
+            train_ds, batch_size, shuffle=True, seed=seed + epoch, drop_last=True
+        ):
+            scale = (
+                float(ms_rng.choice(MULTISCALE_FACTORS)) if use_multiscale else 1.0
+            )
+            sharded = prep_batch(batch, scale)
+            (
+                state.params,
+                state.batch_stats,
+                state.opt_state,
+                state.ema_params,
+                loss,
+            ) = train_step(
+                state.params,
+                state.batch_stats,
+                state.opt_state,
+                state.ema_params,
+                sharded["image"],
+                sharded["score"],
+                sharded["geo"],
+            )
+            state.global_step += 1
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+
+        log = {"epoch": epoch, "train_loss": train_loss,
+               "lr": float(schedule(state.global_step)),
+               "time": time.time() - t_epoch}
+
+        # ---- validation ----
+        if (epoch + 1) % val_interval == 0 and val_sets:
+            val_losses, val_dices = [], []
+            collage_logged = False
+            for vs in val_sets:
+                vl, vd = [], []
+                for bi, batch in enumerate(batch_iterator(
+                    vs, batch_size, shuffle=False, drop_last=False,
+                    include_quads=True,
+                )):
+                    sharded = prep_batch(batch)
+                    loss, dice, pred_score, pred_geo = eval_step(
+                        state.params, state.batch_stats,
+                        sharded["image"], sharded["score"], sharded["geo"],
+                    )
+                    vl.append(float(loss))
+                    vd.append(float(dice))
+                    if writer is not None and not collage_logged and bi == 0:
+                        from ..utils.visualize import create_collage
+
+                        collage = create_collage(
+                            batch["image"][0],
+                            batch["score"][0],
+                            batch["geo"][0],
+                            gt_quads=batch.get("quads", [None])[0],
+                            pred_score=np.asarray(pred_score)[0],
+                            pred_geo=np.asarray(pred_geo)[0],
+                        )
+                        writer.add_image(
+                            "val/collage", collage, epoch, dataformats="HWC"
+                        )
+                        collage_logged = True
+                val_losses.append(float(np.mean(vl)) if vl else 0.0)
+                val_dices.append(float(np.mean(vd)) if vd else 0.0)
+                log[f"val_loss/{vs.dataset_name}"] = val_losses[-1]
+                log[f"val_dice/{vs.dataset_name}"] = val_dices[-1]
+            val_loss = float(np.mean(val_losses))
+            log["val_loss"] = val_loss
+
+            if val_loss < state.best_val_loss:
+                state.best_val_loss = val_loss
+                state.patience = 0
+                (ckpt_dir / "best.msgpack").write_bytes(
+                    flax.serialization.to_bytes(
+                        {"params": state.params, "batch_stats": state.batch_stats}
+                    )
+                )
+            else:
+                state.patience += 1
+
+        # ---- checkpoints ----
+        (ckpt_dir / "last.msgpack").write_bytes(
+            flax.serialization.to_bytes(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            )
+        )
+        state.epoch = epoch + 1
+        (ckpt_dir / "last_state.msgpack").write_bytes(state.serialize())
+
+        if writer is not None:
+            for k, v in log.items():
+                if isinstance(v, (int, float)):
+                    writer.add_scalar(k, v, epoch)
+        history.append(log)
+        print(
+            f"[EAST.train] epoch {epoch}: loss={train_loss:.4f} "
+            + (f"val={log.get('val_loss', float('nan')):.4f} " if "val_loss" in log else "")
+            + f"({log['time']:.1f}s)"
+        )
+
+        if state.patience >= early_stop:
+            print(f"[EAST.train] early stop at epoch {epoch}")
+            break
+
+    if writer is not None:
+        writer.close()
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "ema_params": state.ema_params,
+        "best_val_loss": state.best_val_loss,
+        "exp_dir": str(exp_dir),
+        "history": history,
+    }

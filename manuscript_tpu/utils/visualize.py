@@ -61,6 +61,66 @@ def draw_quads(
     return pil
 
 
+def _colormap(channel: np.ndarray) -> np.ndarray:
+    """Min-max normalize a 2-D map and render with a JET-like colormap."""
+    lo, hi = float(channel.min()), float(channel.max())
+    norm = (channel - lo) / (hi - lo) if hi > lo else np.zeros_like(channel)
+    if cv2 is not None:
+        return cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_JET)[
+            :, :, ::-1
+        ]
+    g = (norm * 255).astype(np.uint8)  # pragma: no cover - grayscale fallback
+    return np.stack([g, g, g], axis=-1)
+
+
+def create_collage(
+    image_u8: np.ndarray,
+    gt_score: np.ndarray,
+    gt_geo: np.ndarray,
+    gt_quads=None,
+    pred_score: np.ndarray = None,
+    pred_geo: np.ndarray = None,
+    cell_size: int = 320,
+) -> np.ndarray:
+    """2×10 training-diagnostics grid: [image+boxes, score, 8 geo channels],
+    GT row over prediction row (reference:
+    src/manuscript/detectors/_east/utils.py:257-325). geo maps are HWC(8)."""
+    n_rows, n_cols = 2, 10
+    collage = np.full((cell_size * n_rows, cell_size * n_cols, 3), 255, np.uint8)
+
+    def row_cells(score, geo, quads):
+        img = image_u8
+        if quads is not None and len(quads):
+            flat = [np.asarray(q).reshape(-1)[:8] for q in quads]
+            img = np.array(draw_quads(image_u8, np.stack(flat), color=(0, 255, 0)))
+        cells = [img, _colormap(np.asarray(score))]
+        geo = np.asarray(geo)
+        for i in range(geo.shape[-1]):
+            cells.append(_colormap(geo[..., i]))
+        return cells
+
+    rows = [row_cells(gt_score, gt_geo, gt_quads)]
+    if pred_score is not None and pred_geo is not None:
+        rows.append(row_cells(pred_score, pred_geo, None))
+    else:
+        rows.append([np.zeros((8, 8, 3), np.uint8)] * n_cols)
+
+    for r, cells in enumerate(rows):
+        for c in range(n_cols):
+            cell = cells[c]
+            if cv2 is not None:
+                cell = cv2.resize(cell, (cell_size, cell_size))
+            else:  # pragma: no cover
+                cell = np.array(
+                    Image.fromarray(cell).resize((cell_size, cell_size))
+                )
+            collage[
+                r * cell_size : (r + 1) * cell_size,
+                c * cell_size : (c + 1) * cell_size,
+            ] = cell
+    return collage
+
+
 def visualize_page(
     image,
     page,

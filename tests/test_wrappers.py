@@ -1,0 +1,158 @@
+"""EAST/TRBA wrapper integration tests (random weights, tiny target sizes).
+
+Mirrors the reference's integration tests (reference:
+tests/detectors/east/test_east_infer.py:14-166) minus the downloaded
+weights: result-dict schema, Page structure, 4-vertex polygons, vis image,
+threshold sweep, error paths.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from manuscript_tpu.detectors import EAST
+from manuscript_tpu.recognizers import TRBA, default_charset
+from manuscript_tpu.types import Page
+
+
+@pytest.fixture(scope="module")
+def east():
+    return EAST(target_size=128, backbone="resnet50")
+
+
+@pytest.fixture(scope="module")
+def trba():
+    return TRBA()
+
+
+@pytest.fixture
+def page_image(rng):
+    img = np.full((200, 300, 3), 240, dtype=np.uint8)
+    img[40:80, 30:120] = 30
+    img[120:160, 50:200] = 60
+    return img
+
+
+class TestEASTPredict:
+    def test_result_schema(self, east, page_image):
+        res = east.predict(page_image)
+        assert set(res.keys()) == {"page", "vis_image", "score_map", "geo_map"}
+        assert isinstance(res["page"], Page)
+        assert res["vis_image"] is None
+        assert res["score_map"] is None
+
+    def test_polygons_are_quads(self, east, page_image):
+        res = east.predict(page_image)
+        for block in res["page"].blocks:
+            for w in block.words:
+                assert len(w.polygon) == 4
+                assert 0.0 <= w.detection_confidence <= 1.0
+
+    def test_return_maps(self, east, page_image):
+        res = east.predict(page_image, return_maps=True)
+        assert res["score_map"].shape == (32, 32)
+        assert res["geo_map"].shape == (8, 32, 32)
+
+    def test_vis(self, east, page_image):
+        res = east.predict(page_image, vis=True)
+        assert isinstance(res["vis_image"], Image.Image)
+        assert res["vis_image"].mode == "RGB"
+
+    def test_threshold_sweep_no_recompile(self, east, page_image):
+        # score_thresh is traced — sweeping must not trigger recompiles
+        for t in (0.1, 0.5, 0.9):
+            east.score_thresh = t
+            res = east.predict(page_image)
+            assert isinstance(res["page"], Page)
+        east.score_thresh = 0.6
+
+    def test_file_not_found(self, east):
+        with pytest.raises(FileNotFoundError):
+            east.predict("/nonexistent/image.jpg")
+
+    def test_bad_type(self, east):
+        with pytest.raises(TypeError):
+            east.predict(12345)
+
+    def test_bad_weights_path(self):
+        with pytest.raises(FileNotFoundError):
+            EAST(weights_path="/nonexistent/w.msgpack", target_size=64)
+
+    def test_sort_reading_order_flag(self, east, page_image):
+        res = east.predict(page_image, sort_reading_order=True)
+        assert isinstance(res["page"], Page)
+
+    def test_save_load_roundtrip(self, east, tmp_path, page_image):
+        p = tmp_path / "east.msgpack"
+        east.save(str(p))
+        east2 = EAST(weights_path=str(p), target_size=128)
+        r1 = east.predict(page_image, return_maps=True)
+        r2 = east2.predict(page_image, return_maps=True)
+        np.testing.assert_allclose(r1["score_map"], r2["score_map"], atol=1e-6)
+
+
+class TestTRBAPredict:
+    def test_single_image(self, trba, rng):
+        img = rng.integers(0, 255, (40, 120, 3), dtype=np.uint8)
+        out = trba.predict(img, mode="greedy")
+        assert len(out) == 1
+        assert set(out[0].keys()) == {"text", "confidence"}
+        assert isinstance(out[0]["text"], str)
+        assert 0.0 <= out[0]["confidence"] <= 1.0
+
+    def test_batch_and_partial_bucket(self, trba, rng):
+        imgs = [
+            rng.integers(0, 255, (30 + i, 80 + i, 3), dtype=np.uint8)
+            for i in range(5)
+        ]
+        out = trba.predict(imgs, batch_size=4, mode="greedy")
+        assert len(out) == 5
+
+    def test_beam_mode(self, trba, rng):
+        img = rng.integers(0, 255, (40, 120, 3), dtype=np.uint8)
+        out = trba.predict([img], mode="beam", beam_size=3)
+        assert len(out) == 1
+
+    def test_text_uses_charset(self, trba, rng):
+        charset = set(default_charset())
+        img = rng.integers(0, 255, (40, 120, 3), dtype=np.uint8)
+        out = trba.predict(img, mode="greedy")
+        for ch in out[0]["text"]:
+            assert ch in charset
+
+    def test_empty_list(self, trba):
+        assert trba.predict([]) == []
+
+    def test_unknown_mode(self, trba, rng):
+        img = rng.integers(0, 255, (40, 120, 3), dtype=np.uint8)
+        with pytest.raises(ValueError):
+            trba.predict(img, mode="magic")
+
+    def test_missing_file(self, trba):
+        with pytest.raises(FileNotFoundError):
+            trba.predict("/nonexistent/word.png")
+
+    def test_pil_and_path_inputs(self, trba, tmp_path, rng):
+        arr = rng.integers(0, 255, (32, 96, 3), dtype=np.uint8)
+        p = tmp_path / "w.png"
+        Image.fromarray(arr).save(p)
+        out = trba.predict([str(p), Image.fromarray(arr), arr], mode="greedy")
+        assert len(out) == 3
+        # identical inputs through different loaders → identical text
+        assert out[0]["text"] == out[1]["text"] == out[2]["text"]
+
+    def test_save_load_roundtrip(self, trba, tmp_path, rng):
+        p = tmp_path / "trba.msgpack"
+        trba.save(str(p))
+        t2 = TRBA(model_path=str(p))
+        img = rng.integers(0, 255, (40, 120, 3), dtype=np.uint8)
+        assert (
+            trba.predict(img, mode="greedy")[0]["text"]
+            == t2.predict(img, mode="greedy")[0]["text"]
+        )
+
+    def test_conflicting_paths_raise(self, tmp_path):
+        p1 = tmp_path / "a.msgpack"
+        p1.write_bytes(b"x")
+        with pytest.raises(ValueError):
+            TRBA(model_path=str(p1), weights_path="/other/b.msgpack")
