@@ -70,6 +70,8 @@ class EAST:
         backbone: str = "resnet50",
         dtype: Any = jnp.bfloat16,
         max_candidates: int = 8192,
+        nms: str = "host",
+        max_boxes: int = 1024,
     ):
         """Text detector. ``dtype`` is the backbone compute dtype (bfloat16
         rides the MXU; score/geometry heads always emit float32)."""
@@ -87,6 +89,10 @@ class EAST:
         self.anomaly_min_box_count = anomaly_min_box_count
         self.backbone = backbone
         self.max_candidates = max_candidates
+        if nms not in ("host", "device"):
+            raise ValueError(f"nms must be 'host' or 'device', got {nms!r}")
+        self.nms = nms
+        self.max_boxes = max_boxes
 
         self.model = EASTModel(backbone=backbone, dtype=dtype)
 
@@ -174,6 +180,57 @@ class EAST:
             self._infer_fn = fn
         return fn
 
+    def _get_device_nms_fn(self):
+        """Fully-fused detector program: normalize → forward → decode →
+        top-k → device LANMS → expansion/rescale/filters/axis-align. The
+        only device→host transfer is the final (max_boxes, 9) tensor plus
+        its validity mask (~36 KB)."""
+        if getattr(self, "_device_nms_fn", None) is not None:
+            return self._device_nms_fn
+
+        from ..ops.lanms_jax import locality_aware_nms_jax
+        from ..ops.postprocess_jax import postprocess_boxes_jax
+
+        model = self.model
+        q = self.quantization
+        scale = 1.0 / self.score_geo_scale
+        max_cands = self.max_candidates
+        max_boxes = self.max_boxes
+        expand_w, expand_h = self.expand_ratio_w, self.expand_ratio_h
+        axis_aligned = self.axis_aligned_output
+        remove_anoms = self.remove_area_anomalies
+        anomaly_sigma = self.anomaly_sigma_threshold
+        anomaly_min = self.anomaly_min_box_count
+
+        @jax.jit
+        def fn(variables, u8_img, score_thresh, iou_threshold, scale_x, scale_y):
+            x = (u8_img.astype(model.dtype) / 255.0 - 0.5) / 0.5
+            out = model.apply(variables, x[None])
+            score = out["score"][0, :, :, 0]
+            geo = out["geometry"][0]
+            quads, scores, valid = decode_cells_jax(
+                score, geo, score_thresh, quantization=q, scale=scale
+            )
+            cands = topk_candidates(quads, scores, valid, max_cands)
+            boxes, count = locality_aware_nms_jax(
+                cands, iou_threshold, max_out=max_boxes
+            )
+            return postprocess_boxes_jax(
+                boxes,
+                count,
+                expand_w,
+                expand_h,
+                scale_x,
+                scale_y,
+                axis_aligned=axis_aligned,
+                remove_anomalies=remove_anoms,
+                anomaly_sigma=anomaly_sigma,
+                anomaly_min_count=anomaly_min,
+            )
+
+        self._device_nms_fn = fn
+        return fn
+
     def predict(
         self,
         img_or_path: Union[str, Path, np.ndarray],
@@ -185,6 +242,26 @@ class EAST:
         """Detect text → {"page", "vis_image", "score_map", "geo_map"}."""
         img = read_image(img_or_path)
         resized = detector_preprocess_host(img, self.target_size)
+        orig_h, orig_w = img.shape[:2]
+
+        if self.nms == "device" and not return_maps:
+            t0 = time.time()
+            fn = self._get_device_nms_fn()
+            boxes_d, valid_d = fn(
+                self.variables,
+                jnp.asarray(resized),
+                jnp.float32(self.score_thresh),
+                jnp.float32(self.iou_threshold),
+                jnp.float32(orig_w / self.target_size),
+                jnp.float32(orig_h / self.target_size),
+            )
+            output_quads = np.asarray(boxes_d)[np.asarray(valid_d)]
+            if profile:
+                print(f"  Fused device detect (incl. NMS): {time.time() - t0:.3f}s")
+                print(f"    Boxes out: {len(output_quads)}")
+            return self._build_result(
+                img, output_quads, vis, sort_reading_order, None, None, False
+            )
 
         t0 = time.time()
         fn = self._get_infer_fn(with_maps=return_maps)
@@ -211,7 +288,6 @@ class EAST:
         expanded = expand_boxes(
             nms_quads, expand_w=self.expand_ratio_w, expand_h=self.expand_ratio_h
         )
-        orig_h, orig_w = img.shape[:2]
         scaled = scale_boxes(expanded, self.target_size, orig_h, orig_w)
 
         processed = remove_fully_contained(scaled)
@@ -224,7 +300,109 @@ class EAST:
         output_quads = (
             to_axis_aligned(processed) if self.axis_aligned_output else processed
         )
+        return self._build_result(
+            img, output_quads, vis, sort_reading_order,
+            score_map_d, geo_map_d, return_maps,
+        )
 
+    def _get_batch_fn(self, batch: int):
+        """Batched page program: (B,H,W,3) u8 → per-page top-k candidates."""
+        if getattr(self, "_batch_fns", None) is None:
+            self._batch_fns = {}
+        if batch in self._batch_fns:
+            return self._batch_fns[batch]
+        model = self.model
+        q = self.quantization
+        scale = 1.0 / self.score_geo_scale
+        max_cands = self.max_candidates
+
+        @jax.jit
+        def fn(variables, u8_imgs, score_thresh):
+            x = (u8_imgs.astype(model.dtype) / 255.0 - 0.5) / 0.5
+            out = model.apply(variables, x)
+            scores = out["score"][..., 0]  # (B, h, w)
+            geos = out["geometry"]  # (B, h, w, 8)
+
+            def decode_one(s, g):
+                quads, sc, valid = decode_cells_jax(
+                    s, g, score_thresh, quantization=q, scale=scale
+                )
+                return topk_candidates(quads, sc, valid, max_cands)
+
+            return jax.vmap(decode_one)(scores, geos)
+
+        self._batch_fns[batch] = fn
+        return fn
+
+    def predict_batch(
+        self,
+        images,
+        batch_size: int = 4,
+        vis: bool = False,
+        profile: bool = False,
+        sort_reading_order: bool = False,
+    ):
+        """Detect over many pages with a batched device program (one forward
+        per ``batch_size`` pages; partial chunks pad to the bucket). Returns
+        a list of result dicts like ``predict``."""
+        loaded = [read_image(im) for im in images]
+        results = []
+        fn = self._get_batch_fn(batch_size)
+        for start in range(0, len(loaded), batch_size):
+            chunk = loaded[start : start + batch_size]
+            resized = np.stack(
+                [detector_preprocess_host(im, self.target_size) for im in chunk]
+            )
+            n = resized.shape[0]
+            if n < batch_size:
+                pad = np.zeros(
+                    (batch_size - n, self.target_size, self.target_size, 3),
+                    np.uint8,
+                )
+                resized = np.concatenate([resized, pad], axis=0)
+            t0 = time.time()
+            cands_d = fn(
+                self.variables, jnp.asarray(resized), jnp.float32(self.score_thresh)
+            )
+            cands_np = np.asarray(cands_d)[:n]
+            if profile:
+                print(
+                    f"  Batched detect [{start}:{start + n}]: "
+                    f"{time.time() - t0:.3f}s"
+                )
+            for img, cands in zip(chunk, cands_np):
+                candidates = compact_topk(cands)
+                nms_quads = locality_aware_nms(candidates, self.iou_threshold)
+                expanded = expand_boxes(
+                    nms_quads,
+                    expand_w=self.expand_ratio_w,
+                    expand_h=self.expand_ratio_h,
+                )
+                oh, ow = img.shape[:2]
+                scaled = scale_boxes(expanded, self.target_size, oh, ow)
+                processed = remove_fully_contained(scaled)
+                if self.remove_area_anomalies:
+                    processed = remove_area_anomalies(
+                        processed,
+                        sigma_threshold=self.anomaly_sigma_threshold,
+                        min_box_count=self.anomaly_min_box_count,
+                    )
+                output_quads = (
+                    to_axis_aligned(processed)
+                    if self.axis_aligned_output
+                    else processed
+                )
+                results.append(
+                    self._build_result(
+                        img, output_quads, vis, sort_reading_order, None, None, False
+                    )
+                )
+        return results
+
+    def _build_result(
+        self, img, output_quads, vis, sort_reading_order,
+        score_map_d, geo_map_d, return_maps,
+    ) -> Dict[str, Any]:
         words = [
             Word(
                 polygon=quad[:8].reshape(4, 2).tolist(),

@@ -88,28 +88,52 @@ def to_axis_aligned(quads: np.ndarray) -> np.ndarray:
 
 
 def remove_fully_contained(quads: np.ndarray) -> np.ndarray:
-    """Drop any quad whose 4 vertices all lie inside a strictly larger kept
-    quad. Scans area-ascending so nested chains collapse to the outermost."""
-    if len(quads) <= 1:
+    """Drop any quad whose 4 vertices all lie inside a strictly larger quad.
+
+    The reference scans area-ascending and only ever removes the quad being
+    scanned, so larger quads are always still present when a smaller one is
+    checked — making the rule order-free: remove i iff ∃j with
+    area_j > area_i + 1e-6 containing all of i's vertices. That vectorizes
+    to one pairwise tensor test (the reference's per-pair cv2 loop is
+    O(n²) Python and melts down at thousands of boxes)."""
+    n = len(quads)
+    if n <= 1:
         return quads
     coords = quads[:, :8].reshape(-1, 4, 2).astype(np.float64)
     areas = polygon_area_batch(coords)
-    keep = np.ones(len(quads), dtype=bool)
-    order = np.argsort(areas)
-    for idx in order:
-        if not keep[idx]:
-            continue
-        inner = coords[idx]
-        inner_area = areas[idx]
-        for jdx in range(len(quads)):
-            if idx == jdx or not keep[jdx]:
-                continue
-            if areas[jdx] + 1e-6 < inner_area:
-                continue
-            if bool(np.all(point_in_polygon(inner, coords[jdx]))):
-                keep[idx] = False
-                break
-    return quads[keep]
+
+    # cheap O(N²·scalars) prefilter: containment requires bbox(i) ⊆ bbox(j)
+    # (with slack) and area_j strictly larger
+    x_min = coords[..., 0].min(1); x_max = coords[..., 0].max(1)
+    y_min = coords[..., 1].min(1); y_max = coords[..., 1].max(1)
+    slack = 1e-6
+    pre = (
+        (x_min[:, None] >= x_min[None, :] - slack)
+        & (x_max[:, None] <= x_max[None, :] + slack)
+        & (y_min[:, None] >= y_min[None, :] - slack)
+        & (y_max[:, None] <= y_max[None, :] + slack)
+        & (areas[None, :] > areas[:, None] + 1e-6)
+    )
+    np.fill_diagonal(pre, False)
+    ii, jj = np.nonzero(pre)
+    if len(ii) == 0:
+        return quads
+
+    # exact vertex-in-quad test, batched over the candidate pairs only
+    pts = coords[ii]  # (P, 4, 2) vertices of the (maybe) inner quad
+    poly = coords[jj]  # (P, 4, 2) candidate containers
+    a = poly
+    b = np.roll(poly, -1, axis=1)
+    edge = b - a  # (P, 4edges, 2)
+    rel = pts[:, :, None, :] - a[:, None, :, :]  # (P, 4verts, 4edges, 2)
+    cross = edge[:, None, :, 0] * rel[..., 1] - edge[:, None, :, 1] * rel[..., 0]
+    eps = 1e-9
+    per_vertex = np.all(cross >= -eps, axis=-1) | np.all(cross <= eps, axis=-1)
+    inside_pair = np.all(per_vertex, axis=-1)  # (P,)
+
+    contained = np.zeros(n, dtype=bool)
+    np.logical_or.at(contained, ii, inside_pair)
+    return quads[~contained]
 
 
 def remove_area_anomalies(

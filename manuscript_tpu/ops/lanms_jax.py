@@ -1,0 +1,241 @@
+"""Locality-aware NMS — on-device (JAX) implementation.
+
+Same semantics as ops/lanms.py (the numpy/C++ host kernels; ultimately the
+reference's Numba kernels, src/manuscript/detectors/_east/lanms.py:133-207)
+re-expressed as fixed-shape tensor programs:
+
+* quad∩quad IoU = batched Sutherland–Hodgman clipping over a static 8-slot
+  vertex buffer with per-polygon counts; the per-edge emit/compact step is a
+  one-hot contraction (VPU-friendly, no data-dependent shapes);
+* the inherently serial x-sorted weighted merge is a ``lax.scan`` carrying
+  the "current merged quad" plus a fixed-capacity output buffer;
+* standard NMS = precomputed pairwise IoU matrix + a greedy suppression scan
+  over the score-descending order.
+
+Everything runs under one jit; inputs/outputs are padded — candidates carry
+score −1 when invalid, outputs beyond the returned count are zeros. f32
+(the host path is f64; the parity tests allow tolerance-level differences,
+SURVEY.md §7 hard-parts #1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_SLOTS = 8  # max vertices of quad∩quad under S-H clipping (4 + 4 edges)
+
+
+def _line_intersection(p1, p2, a, b):
+    """Intersection of lines (p1,p2) and (a,b), batched over leading dims;
+    parallel lines return p1."""
+    d1 = p2 - p1
+    d2 = b - a
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    ca = a - p1
+    t = (ca[..., 0] * d2[..., 1] - ca[..., 1] * d2[..., 0]) / jnp.where(
+        denom == 0, 1.0, denom
+    )
+    inter = p1 + t[..., None] * d1
+    return jnp.where((denom == 0)[..., None], p1, inter)
+
+
+def _clip_batch(polys, counts, a, b):
+    """Clip P padded polygons against the half-plane left of edge a→b.
+
+    polys: (P, 8, 2); counts: (P,) int32; a, b: (P, 2).
+    Returns (new_polys (P, 8, 2), new_counts (P,)).
+    """
+    p = polys.shape[0]
+    j = jnp.arange(_SLOTS)
+    cnt = jnp.maximum(counts, 1)[:, None]
+    valid = j[None, :] < counts[:, None]  # (P, 8)
+    prev_idx = (j[None, :] + cnt - 1) % cnt  # (P, 8)
+    prev = jnp.take_along_axis(
+        polys, prev_idx[:, :, None].astype(jnp.int32), axis=1
+    )
+    curr = polys
+
+    ab = b - a  # (P, 2)
+
+    def side(pts):  # (P, 8)
+        return ab[:, None, 0] * (pts[..., 1] - a[:, None, 1]) - ab[:, None, 1] * (
+            pts[..., 0] - a[:, None, 0]
+        )
+
+    curr_in = side(curr) >= 0
+    prev_in = side(prev) >= 0
+
+    inter = _line_intersection(prev, curr, a[:, None, :], b[:, None, :])
+
+    # per slot: emit intersection first (on edge crossing), then curr (if in)
+    emit_inter = (curr_in ^ prev_in) & valid
+    emit_curr = curr_in & valid
+    emits = jnp.stack([inter, curr], axis=2).reshape(p, 2 * _SLOTS, 2)
+    emask = jnp.stack([emit_inter, emit_curr], axis=2).reshape(p, 2 * _SLOTS)
+
+    pos = jnp.cumsum(emask, axis=1) - 1  # target slot per emit
+    onehot = jax.nn.one_hot(
+        jnp.where(emask, pos, _SLOTS), _SLOTS + 1, dtype=polys.dtype
+    )[..., :_SLOTS]  # (P, 16, 8); masked emits land in the dumped column
+    new_polys = jnp.einsum("peo,pec->poc", onehot, emits)
+    new_counts = emask.sum(axis=1).astype(jnp.int32)
+    return new_polys, new_counts
+
+
+def _padded_area(polys, counts):
+    """Shoelace area of padded polygons (P, 8, 2) with counts (P,)."""
+    j = jnp.arange(_SLOTS)
+    cnt = jnp.maximum(counts, 1)[:, None]
+    nxt_idx = (j[None, :] + 1) % cnt
+    nxt = jnp.take_along_axis(polys, nxt_idx[:, :, None].astype(jnp.int32), axis=1)
+    valid = (j[None, :] < counts[:, None]).astype(polys.dtype)
+    cross = polys[..., 0] * nxt[..., 1] - nxt[..., 0] * polys[..., 1]
+    return jnp.abs(jnp.sum(cross * valid, axis=1)) / 2.0
+
+
+def _quad_area(q):
+    """Shoelace area of (…, 4, 2) quads."""
+    x, y = q[..., 0], q[..., 1]
+    xn = jnp.roll(x, -1, axis=-1)
+    yn = jnp.roll(y, -1, axis=-1)
+    return jnp.abs(jnp.sum(x * yn - xn * y, axis=-1)) / 2.0
+
+
+def quad_iou_pairs(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """IoU of paired quads: q1, q2 (P, 4, 2) → (P,)."""
+    p = q1.shape[0]
+    polys = jnp.concatenate(
+        [q1, jnp.zeros((p, _SLOTS - 4, 2), q1.dtype)], axis=1
+    )
+    counts = jnp.full((p,), 4, jnp.int32)
+    for e in range(4):
+        a = q2[:, e]
+        b = q2[:, (e + 1) % 4]
+        polys, counts = _clip_batch(polys, counts, a, b)
+    inter = jnp.where(counts > 2, _padded_area(polys, counts), 0.0)
+    union = _quad_area(q1) + _quad_area(q2) - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def quad_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU: a (N, 4, 2), b (M, 4, 2) → (N, M)."""
+    n, m = a.shape[0], b.shape[0]
+    a_rep = jnp.repeat(a, m, axis=0)
+    b_rep = jnp.tile(b, (n, 1, 1))
+    return quad_iou_pairs(a_rep, b_rep).reshape(n, m)
+
+
+def _normalize_quad(ref, poly):
+    """Best vertex ordering of ``poly`` against ``ref`` over all 8 cyclic/
+    reflected permutations (forward orientations win ties)."""
+    idx = jnp.arange(4)
+    fwd = (idx[None, :] + idx[:, None]) % 4  # (start, i)
+    bwd = (idx[:, None] - idx[None, :]) % 4
+    orders = jnp.concatenate([fwd, bwd], axis=0)  # (8, 4)
+    cands = poly[orders]  # (8, 4, 2)
+    d = jnp.sum((cands - ref[None]) ** 2, axis=(1, 2))
+    return cands[jnp.argmin(d)]
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def locality_aware_nms_jax(
+    cands: jnp.ndarray, iou_threshold: jnp.ndarray, max_out: int = 1024
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device LANMS over padded candidates.
+
+    cands: (K, 9) rows [x0..y3, score]; rows with score < 0 are padding.
+    Returns (boxes (max_out, 9) score-descending, count). Rows past count
+    are zero.
+    """
+    k = cands.shape[0]
+    scores = cands[:, 8]
+    valid = scores >= 0.0
+
+    # x0-sort with invalid rows pushed to the end (stable, like the host)
+    sort_key = jnp.where(valid, cands[:, 0], jnp.inf)
+    order = jnp.argsort(sort_key, stable=True)
+    quads = cands[:, :8].reshape(k, 4, 2)[order]
+    sc = scores[order]
+    val = valid[order]
+
+    # ---- sequential weighted merge (lax.scan) ----
+    def merge_step(carry, inp):
+        out_p, out_s, m, cur_p, cur_s, cur_w, has_cur = carry
+        q, s, v = inp
+
+        iou = quad_iou_pairs(q[None], cur_p[None])[0]
+        do_merge = v & has_cur & (iou > iou_threshold)
+
+        aligned = _normalize_quad(cur_p, q)
+        tot = cur_w + s
+        merged_p = (cur_p * cur_w + aligned * s) / jnp.where(tot == 0, 1.0, tot)
+
+        # close the current quad when the new one doesn't merge
+        close = v & has_cur & ~do_merge
+        slot = jnp.minimum(m, max_out - 1)
+        out_p = jnp.where(close, out_p.at[slot].set(cur_p), out_p)
+        out_s = jnp.where(close, out_s.at[slot].set(cur_s), out_s)
+        m = m + close.astype(jnp.int32)
+
+        new_cur_p = jnp.where(do_merge, merged_p, jnp.where(v, q, cur_p))
+        new_cur_s = jnp.where(
+            do_merge, jnp.maximum(cur_s, s), jnp.where(v, s, cur_s)
+        )
+        new_cur_w = jnp.where(do_merge, tot, jnp.where(v, s, cur_w))
+        has_cur = has_cur | v
+        return (out_p, out_s, m, new_cur_p, new_cur_s, new_cur_w, has_cur), None
+
+    init = (
+        jnp.zeros((max_out, 4, 2), cands.dtype),
+        jnp.full((max_out,), -jnp.inf, cands.dtype),
+        jnp.int32(0),
+        jnp.zeros((4, 2), cands.dtype),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.bool_(False),
+    )
+    (out_p, out_s, m, cur_p, cur_s, _, has_cur), _ = jax.lax.scan(
+        merge_step, init, (quads, sc, val)
+    )
+    slot = jnp.minimum(m, max_out - 1)
+    out_p = jnp.where(has_cur, out_p.at[slot].set(cur_p), out_p)
+    out_s = jnp.where(has_cur, out_s.at[slot].set(cur_s), out_s)
+    m = m + has_cur.astype(jnp.int32)
+
+    merged_valid = jnp.arange(max_out) < m
+
+    # ---- standard greedy NMS over merged quads ----
+    iou_mat = quad_iou_matrix(out_p, out_p)  # (max_out, max_out)
+
+    nms_key = jnp.where(merged_valid, out_s, -jnp.inf)
+    nms_order = jnp.argsort(-nms_key, stable=True)
+    iou_sorted = iou_mat[nms_order][:, nms_order]
+    valid_sorted = merged_valid[nms_order]
+
+    def suppress_step(suppressed, i):
+        keep = valid_sorted[i] & ~suppressed[i]
+        row = iou_sorted[i] > iou_threshold
+        later = jnp.arange(max_out) > i
+        suppressed = suppressed | (keep & row & later)
+        return suppressed, keep
+
+    _, kept = jax.lax.scan(
+        suppress_step, jnp.zeros((max_out,), bool), jnp.arange(max_out)
+    )
+
+    # compact kept rows to the front, preserving score-descending order;
+    # non-kept rows scatter into a dump slot past the output
+    kept_pos = jnp.cumsum(kept) - 1
+    target = jnp.where(kept, kept_pos, max_out)
+    n_kept = kept.sum()
+
+    boxes_sorted = jnp.concatenate(
+        [out_p[nms_order].reshape(max_out, 8), out_s[nms_order, None]], axis=1
+    )
+    out = jnp.zeros((max_out + 1, 9), cands.dtype)
+    out = out.at[target].set(boxes_sorted)
+    return out[:max_out], n_kept

@@ -16,8 +16,16 @@ import numpy as np
 Box = Tuple[int, int, int, int]  # (x_min, y_min, x_max, y_max)
 
 
-def resolve_intersections(boxes: Sequence[Box], max_iterations: int = 50) -> List[Box]:
-    """Shrink intersecting boxes by 10% per round until disjoint (or budget)."""
+def resolve_intersections(
+    boxes: Sequence[Box], max_iterations: int = 50, max_boxes: int = 600
+) -> List[Box]:
+    """Shrink intersecting boxes by 10% per round until disjoint (or budget).
+
+    The pair loop is O(n²) per round; beyond ``max_boxes`` boxes the
+    resolution step is skipped (reading order then sorts the raw boxes) to
+    keep pathological pages from stalling the pipeline."""
+    if len(boxes) > max_boxes:
+        return list(boxes)
 
     def intersect(b1, b2):
         return not (

@@ -156,3 +156,24 @@ class TestTRBAPredict:
         p1.write_bytes(b"x")
         with pytest.raises(ValueError):
             TRBA(model_path=str(p1), weights_path="/other/b.msgpack")
+
+
+class TestEASTDeviceNMS:
+    def test_device_nms_matches_host_path(self, page_image):
+        host = EAST(target_size=128, nms="host", max_candidates=1024)
+        dev = EAST(target_size=128, nms="device", max_candidates=1024,
+                   max_boxes=512)
+        dev.variables = host.variables  # same random weights
+        r_host = host.predict(page_image)
+        r_dev = dev.predict(page_image)
+        wh = [w for b in r_host["page"].blocks for w in b.words]
+        wd = [w for b in r_dev["page"].blocks for w in b.words]
+        assert len(wh) == len(wd)
+        if wh:
+            ph = np.sort(np.array([w.polygon for w in wh]).reshape(len(wh), -1), 0)
+            pd = np.sort(np.array([w.polygon for w in wd]).reshape(len(wd), -1), 0)
+            np.testing.assert_allclose(ph, pd, rtol=1e-2, atol=0.5)
+
+    def test_device_nms_bad_value(self):
+        with pytest.raises(ValueError):
+            EAST(target_size=64, nms="banana")
