@@ -101,7 +101,9 @@ class EAST:
         if weights_path is None:
             weights_path = self._find_cached_weights()
         self.weights_path = weights_path
-        self.variables = jax.device_put(self._load_variables())
+        from ..parallel.mesh import canonicalize_layout
+
+        self.variables = canonicalize_layout(jax.device_put(self._load_variables()))
         self._infer_fn = None
         self._infer_fn_maps = None
         # absorb the link's one-time d2h handshake at construction, not at

@@ -123,7 +123,9 @@ class TRBA:
             blank_id=self.blank_id,
             dtype=dtype,
         )
-        self.variables = jax.device_put(self._load_variables())
+        from ..parallel.mesh import canonicalize_layout
+
+        self.variables = canonicalize_layout(jax.device_put(self._load_variables()))
         self._decode_fns: Dict[tuple, Any] = {}
         # absorb the link's one-time d2h handshake at construction
         np.asarray(jax.device_put(np.zeros((16,), np.float32)))
