@@ -157,6 +157,24 @@ def remove_area_anomalies(
     return quads[keep]
 
 
+def quad_to_rbox(quad: np.ndarray) -> np.ndarray:
+    """Quad (8 or 9 floats) → rotated box [cx, cy, w, h, angle] via the
+    min-area rectangle."""
+    try:
+        import cv2
+
+        pts = np.asarray(quad, dtype=np.float32).reshape(-1)[:8].reshape(4, 2)
+        (cx, cy), (w, h), angle = cv2.minAreaRect(pts)
+        return np.array([cx, cy, w, h, angle], dtype=np.float32)
+    except ImportError:  # pragma: no cover
+        pts = np.asarray(quad, dtype=np.float32).reshape(-1)[:8].reshape(4, 2)
+        x0, y0 = pts.min(axis=0)
+        x1, y1 = pts.max(axis=0)
+        return np.array(
+            [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0, 0.0], np.float32
+        )
+
+
 def quad_bbox_int(polygon: np.ndarray) -> tuple:
     """Integer axis-aligned bbox (x_min, y_min, x_max, y_max) of a polygon."""
     poly = np.asarray(polygon, dtype=np.int32)

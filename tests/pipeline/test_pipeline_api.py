@@ -183,3 +183,42 @@ def test_pil_input():
     pipe = Pipeline(detector=DummyDetector(), recognizer=DummyRecognizer())
     page = pipe.predict(img)
     assert isinstance(page, Page)
+
+
+class BatchedDummyDetector(DummyDetector):
+    """Detector exposing the predict_batch fast path."""
+
+    def predict_batch(self, images, batch_size=1, vis=False, profile=False,
+                      sort_reading_order=False):
+        self.calls += 1
+        return [{"page": _page(self.polys), "vis_image": None} for _ in images]
+
+
+def test_process_batch_uses_predict_batch(image):
+    det = BatchedDummyDetector()
+    rec = DummyRecognizer()
+    pipe = Pipeline(detector=det, recognizer=rec)
+    pages = pipe.process_batch([image, image, image])
+    assert len(pages) == 3
+    assert det.calls == 1  # one batched call, not three
+    assert rec.calls == 1  # all crops in one recognition stream
+    for p in pages:
+        assert p.blocks[0].words[0].text is not None
+
+
+def test_process_batch_batched_no_recognition(image):
+    det = BatchedDummyDetector()
+    rec = DummyRecognizer()
+    pipe = Pipeline(detector=det, recognizer=rec)
+    pages = pipe.process_batch([image, image], recognize_text=False)
+    assert rec.calls == 0
+    assert all(p.blocks[0].words[0].text is None for p in pages)
+
+
+def test_process_batch_batched_vis(image):
+    det = BatchedDummyDetector()
+    pipe = Pipeline(detector=det, recognizer=DummyRecognizer())
+    out = pipe.process_batch([image], vis=True)
+    page, vis_img = out[0]
+    assert isinstance(page, Page)
+    assert isinstance(vis_img, Image.Image)
