@@ -43,6 +43,8 @@ class AttentionDecoder(nn.Module):
     blank_id: Optional[int] = None
     dropout_p: float = 0.1
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused Pallas decode step (TPU)
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
     def setup(self):
         h, v, e = self.hidden_size, self.num_classes, self.enc_dim
@@ -124,6 +126,41 @@ class AttentionDecoder(nn.Module):
         b = enc.shape[0]
         steps = max_len + 1
         proj_enc = enc @ self.w_i2h
+
+        if self.use_pallas:
+            from ..ops.pallas_attention import (
+                attention_lstm_step_pallas,
+                pad_step_params,
+            )
+
+            w_ih_p, v_pad = pad_step_params(self.lstm_kernel_ih, self.num_classes)
+            enc_f = enc.astype(jnp.float32)
+            proj_f = proj_enc.astype(jnp.float32)
+
+            def step(carry, _):
+                h, c, tok = carry
+                onehot_p = jax.nn.one_hot(tok, v_pad, dtype=jnp.float32)
+                h, c = attention_lstm_step_pallas(
+                    enc_f, proj_f, h, c, onehot_p,
+                    self.w_h2h.astype(jnp.float32),
+                    self.b_h2h.astype(jnp.float32),
+                    self.w_score.astype(jnp.float32),
+                    w_ih_p.astype(jnp.float32),
+                    self.lstm_kernel_hh.astype(jnp.float32),
+                    self.lstm_bias.astype(jnp.float32),
+                    interpret=self.pallas_interpret,
+                )
+                logits = self._mask_blank(self._logits(h.astype(self.dtype)))
+                nxt = jnp.argmax(logits, axis=-1)
+                return (h, c, nxt), (logits, nxt)
+
+            init = (
+                jnp.zeros((b, self.hidden_size), jnp.float32),
+                jnp.zeros((b, self.hidden_size), jnp.float32),
+                jnp.full((b,), self.sos_id, dtype=jnp.int32),
+            )
+            _, (logits, preds) = jax.lax.scan(step, init, None, length=steps)
+            return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(preds, 0, 1)
 
         def step(carry, _):
             h, c, tok = carry

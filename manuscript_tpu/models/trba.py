@@ -31,6 +31,7 @@ class TRBAModel(nn.Module):
     enc_dropout_p: float = 0.1
     dropblock_p: float = 0.0
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused Pallas greedy decode step (TPU)
 
     def setup(self):
         self.cnn = SEResNet31(
@@ -48,6 +49,7 @@ class TRBAModel(nn.Module):
             blank_id=self.blank_id,
             dropout_p=0.1,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
         )
 
     def encode(self, x, train: bool = False):

@@ -1,6 +1,7 @@
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    canonicalize_layout,
     data_sharding,
     initialize_distributed,
     make_mesh,

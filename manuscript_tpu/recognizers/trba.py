@@ -55,6 +55,7 @@ class TRBA:
         config_path: Optional[str] = None,
         device: str = "auto",
         dtype: Any = jnp.float32,
+        use_pallas: bool = False,
         **kwargs: Any,
     ):
         """Text recognizer.
@@ -122,6 +123,7 @@ class TRBA:
             pad_id=self.pad_id,
             blank_id=self.blank_id,
             dtype=dtype,
+            use_pallas=use_pallas,
         )
         from ..parallel.mesh import canonicalize_layout
 
