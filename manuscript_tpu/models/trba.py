@@ -32,8 +32,16 @@ class TRBAModel(nn.Module):
     dropblock_p: float = 0.0
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused Pallas greedy decode step (TPU)
+    use_tps: bool = False  # TPS rectification (extension; off for parity)
+    tps_fiducials: int = 20
 
     def setup(self):
+        if self.use_tps:
+            from .tps import TPSTransformer
+
+            self.tps = TPSTransformer(
+                num_fiducials=self.tps_fiducials, dtype=self.dtype
+            )
         self.cnn = SEResNet31(
             out_channels=512, dropblock_p=self.dropblock_p, dtype=self.dtype
         )
@@ -54,6 +62,9 @@ class TRBAModel(nn.Module):
 
     def encode(self, x, train: bool = False):
         """x: (B, H, W, 3) normalized floats → (B, W', hidden) sequence."""
+        if self.use_tps:
+            # rectify onto a same-sized canonical grid before the CNN
+            x = self.tps(x, train=train)
         f = self.cnn(x, train=train)  # (B, H', W', 512)
         f = jnp.mean(f, axis=1)  # height pool → (B, W', 512)
         f = self.enc_rnn1(f)
