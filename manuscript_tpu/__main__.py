@@ -1,0 +1,131 @@
+"""Command-line interface: page OCR, detection, recognition, benchmarking.
+
+The reference ships no CLI (SURVEY.md §5.6); this one wraps the same public
+API for production use:
+
+    python -m manuscript_tpu ocr page.jpg [--out result.json] [--vis vis.png]
+    python -m manuscript_tpu detect page.jpg [--thresh 0.6]
+    python -m manuscript_tpu recognize crop1.png crop2.png [--mode greedy]
+    python -m manuscript_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _page_to_dict(page) -> dict:
+    return page.model_dump()
+
+
+def cmd_ocr(args):
+    from . import Pipeline
+
+    pipe = Pipeline()
+    for image in args.images:
+        t0 = time.time()
+        if args.vis:
+            page, vis_img = pipe.predict(image, vis=True, profile=args.profile)
+            vis_img.save(args.vis)
+        else:
+            page = pipe.predict(image, profile=args.profile)
+        result = {
+            "image": image,
+            "seconds": round(time.time() - t0, 3),
+            "text": pipe.get_text(page),
+            "page": _page_to_dict(page),
+        }
+        if args.out:
+            with open(args.out, "w", encoding="utf-8") as f:
+                json.dump(result, f, ensure_ascii=False, indent=1)
+            print(f"{image}: {result['seconds']}s → {args.out}")
+        else:
+            print(result["text"])
+
+
+def cmd_detect(args):
+    from .detectors import EAST
+
+    det = EAST(
+        weights_path=args.weights,
+        target_size=args.target_size,
+        score_thresh=args.thresh,
+    )
+    for image in args.images:
+        res = det.predict(image, vis=bool(args.vis), profile=args.profile)
+        n = sum(len(b.words) for b in res["page"].blocks)
+        print(f"{image}: {n} words")
+        if args.vis and res["vis_image"] is not None:
+            res["vis_image"].save(args.vis)
+        if args.out:
+            with open(args.out, "w", encoding="utf-8") as f:
+                json.dump(_page_to_dict(res["page"]), f, ensure_ascii=False)
+
+
+def cmd_recognize(args):
+    from .recognizers import TRBA
+
+    rec = TRBA(model_path=args.weights)
+    results = rec.predict(
+        list(args.images),
+        batch_size=args.batch_size,
+        mode=args.mode,
+        beam_size=args.beam_size,
+    )
+    for path, r in zip(args.images, results):
+        print(f"{path}\t{r['text']}\t{r['confidence']:.4f}")
+
+
+def cmd_bench(args):
+    import runpy
+    from pathlib import Path
+
+    bench = Path(__file__).resolve().parent.parent / "bench.py"
+    if bench.exists():
+        runpy.run_path(str(bench), run_name="__main__")
+    else:
+        print("bench.py not found next to the package", file=sys.stderr)
+        sys.exit(1)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="manuscript_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("ocr", help="full-page OCR")
+    p.add_argument("images", nargs="+")
+    p.add_argument("--out", help="write JSON result")
+    p.add_argument("--vis", help="write visualization PNG")
+    p.add_argument("--profile", action="store_true")
+    p.set_defaults(func=cmd_ocr)
+
+    p = sub.add_parser("detect", help="text detection only")
+    p.add_argument("images", nargs="+")
+    p.add_argument("--weights")
+    p.add_argument("--thresh", type=float, default=0.6)
+    p.add_argument("--target-size", type=int, default=1280)
+    p.add_argument("--vis")
+    p.add_argument("--out")
+    p.add_argument("--profile", action="store_true")
+    p.set_defaults(func=cmd_detect)
+
+    p = sub.add_parser("recognize", help="recognize word crops")
+    p.add_argument("images", nargs="+")
+    p.add_argument("--weights")
+    p.add_argument("--mode", choices=["beam", "greedy"], default="beam")
+    p.add_argument("--beam-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.set_defaults(func=cmd_recognize)
+
+    p = sub.add_parser("bench", help="run the standard benchmark")
+    p.set_defaults(func=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""CLI smoke tests with fake backends injected via monkeypatching the
+Pipeline/EAST/TRBA constructors (docs-as-tests style, reference:
+tests/test_detector_docs.py pattern)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import manuscript_tpu.__main__ as cli
+from manuscript_tpu.types import Block, Page, Word
+
+
+def _fake_page():
+    return Page(
+        blocks=[
+            Block(
+                words=[
+                    Word(
+                        polygon=[(1, 1), (9, 1), (9, 5), (1, 5)],
+                        detection_confidence=0.9,
+                        text="hello",
+                        recognition_confidence=0.8,
+                    )
+                ]
+            )
+        ]
+    )
+
+
+@pytest.fixture
+def image_file(tmp_path, rng):
+    p = tmp_path / "page.png"
+    Image.fromarray(
+        rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    ).save(p)
+    return str(p)
+
+
+def test_ocr_command(monkeypatch, capsys, image_file, tmp_path):
+    class FakePipe:
+        def predict(self, image, vis=False, profile=False):
+            return _fake_page()
+
+        def get_text(self, page):
+            return "hello"
+
+    monkeypatch.setattr("manuscript_tpu.Pipeline", lambda: FakePipe())
+    out_json = tmp_path / "r.json"
+    cli.main(["ocr", image_file, "--out", str(out_json)])
+    data = json.loads(out_json.read_text())
+    assert data["text"] == "hello"
+    assert data["page"]["blocks"][0]["words"][0]["text"] == "hello"
+
+
+def test_detect_command(monkeypatch, capsys, image_file):
+    class FakeEAST:
+        def __init__(self, **kw):
+            self.kw = kw
+
+        def predict(self, image, vis=False, profile=False):
+            return {"page": _fake_page(), "vis_image": None}
+
+    import manuscript_tpu.detectors as d
+
+    monkeypatch.setattr(d, "EAST", FakeEAST)
+    cli.main(["detect", image_file, "--thresh", "0.8"])
+    assert "1 words" in capsys.readouterr().out
+
+
+def test_recognize_command(monkeypatch, capsys, image_file):
+    class FakeTRBA:
+        def __init__(self, **kw):
+            pass
+
+        def predict(self, images, batch_size=32, mode="beam", beam_size=8):
+            return [{"text": "word", "confidence": 0.75} for _ in images]
+
+    import manuscript_tpu.recognizers as r
+
+    monkeypatch.setattr(r, "TRBA", FakeTRBA)
+    cli.main(["recognize", image_file, "--mode", "greedy"])
+    out = capsys.readouterr().out
+    assert "word" in out and "0.7500" in out
+
+
+def test_unknown_command_exits():
+    with pytest.raises(SystemExit):
+        cli.main(["nonsense"])
