@@ -25,7 +25,28 @@ struct Pt {
   double x, y;
 };
 
+struct BBox {
+  double x0, y0, x1, y1;
+};
+
 constexpr int kClipBuf = 20;
+
+BBox quad_bbox(const Pt* q) {
+  BBox b{q[0].x, q[0].y, q[0].x, q[0].y};
+  for (int i = 1; i < 4; ++i) {
+    b.x0 = std::min(b.x0, q[i].x);
+    b.y0 = std::min(b.y0, q[i].y);
+    b.x1 = std::max(b.x1, q[i].x);
+    b.y1 = std::max(b.y1, q[i].y);
+  }
+  return b;
+}
+
+// Spatial prior (ASAP-NMS-style): disjoint bboxes ⇒ IoU is exactly 0,
+// skip the polygon clipping entirely.
+inline bool bbox_overlap(const BBox& a, const BBox& b) {
+  return !(a.x1 < b.x0 || b.x1 < a.x0 || a.y1 < b.y0 || b.y1 < a.y0);
+}
 
 double polygon_area(const Pt* p, int n) {
   double a = 0.0;
@@ -136,7 +157,8 @@ extern "C" int64_t lanms(const double* boxes, int64_t n, double iou_threshold,
 
     if (!merged.empty()) {
       Pt* last = merged.data() + merged.size() - 4;
-      if (quad_iou(q, last) > iou_threshold) {
+      if (bbox_overlap(quad_bbox(q), quad_bbox(last)) &&
+          quad_iou(q, last) > iou_threshold) {
         Pt aligned[4];
         normalize_quad(last, q, aligned);
         const double w = weights.back();
@@ -163,6 +185,9 @@ extern "C" int64_t lanms(const double* boxes, int64_t n, double iou_threshold,
     return scores[a] > scores[b];
   });
 
+  std::vector<BBox> boxes_bb(m);
+  for (int64_t i = 0; i < m; ++i) boxes_bb[i] = quad_bbox(merged.data() + i * 4);
+
   std::vector<char> suppressed(m, 0);
   int64_t kept = 0;
   for (int64_t i = 0; i < m; ++i) {
@@ -179,6 +204,7 @@ extern "C" int64_t lanms(const double* boxes, int64_t n, double iou_threshold,
     for (int64_t j = i + 1; j < m; ++j) {
       const int64_t jdx = sorder[j];
       if (suppressed[jdx]) continue;
+      if (!bbox_overlap(boxes_bb[idx], boxes_bb[jdx])) continue;
       if (quad_iou(qi, merged.data() + jdx * 4) > iou_threshold)
         suppressed[jdx] = 1;
     }
