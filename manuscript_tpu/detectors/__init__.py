@@ -11,8 +11,12 @@ from ..types import Block, Page, Word
 from ..utils.visualize import draw_quads, visualize_page
 from .east import EAST
 
+# drop-in alias used by the reference's notebooks/older scripts
+EASTInfer = EAST
+
 __all__ = [
     "EAST",
+    "EASTInfer",
     "Word",
     "Block",
     "Page",

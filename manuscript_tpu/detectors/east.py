@@ -349,27 +349,47 @@ class EAST:
         a list of result dicts like ``predict``."""
         loaded = [read_image(im) for im in images]
         results = []
-        fn = self._get_batch_fn(batch_size)
-        for start in range(0, len(loaded), batch_size):
-            chunk = loaded[start : start + batch_size]
-            resized = np.stack(
-                [detector_preprocess_host(im, self.target_size) for im in chunk]
-            )
-            n = resized.shape[0]
-            if n < batch_size:
-                pad = np.zeros(
-                    (batch_size - n, self.target_size, self.target_size, 3),
-                    np.uint8,
+
+        # phase 1: dispatch every chunk's device program without syncing —
+        # JAX queues them; the host then overlaps NMS/post-processing of
+        # chunk i with the device executing chunk i+1. batch_size=1 reuses
+        # predict()'s fused single-page program (shares its compile cache).
+        pending = []
+        if batch_size == 1:
+            fn1 = self._get_infer_fn(with_maps=False)
+            thresh = jnp.float32(self.score_thresh)
+            for start, img in enumerate(loaded):
+                resized = detector_preprocess_host(img, self.target_size)
+                cands_d = fn1(self.variables, jnp.asarray(resized), thresh)
+                pending.append(([img], 1, cands_d[None], start))
+        else:
+            fn = self._get_batch_fn(batch_size)
+            for start in range(0, len(loaded), batch_size):
+                chunk = loaded[start : start + batch_size]
+                resized = np.stack(
+                    [detector_preprocess_host(im, self.target_size) for im in chunk]
                 )
-                resized = np.concatenate([resized, pad], axis=0)
+                n = resized.shape[0]
+                if n < batch_size:
+                    pad = np.zeros(
+                        (batch_size - n, self.target_size, self.target_size, 3),
+                        np.uint8,
+                    )
+                    resized = np.concatenate([resized, pad], axis=0)
+                cands_d = fn(
+                    self.variables,
+                    jnp.asarray(resized),
+                    jnp.float32(self.score_thresh),
+                )
+                pending.append((chunk, n, cands_d, start))
+
+        # phase 2: sync + host post-process in order
+        for chunk, n, cands_d, start in pending:
             t0 = time.time()
-            cands_d = fn(
-                self.variables, jnp.asarray(resized), jnp.float32(self.score_thresh)
-            )
             cands_np = np.asarray(cands_d)[:n]
             if profile:
                 print(
-                    f"  Batched detect [{start}:{start + n}]: "
+                    f"  Batched detect sync [{start}:{start + n}]: "
                     f"{time.time() - t0:.3f}s"
                 )
             for img, cands in zip(chunk, cands_np):

@@ -181,6 +181,12 @@ def make_train_step(
                 has_aux=True,
             )(params)
 
+        # failure guard: a non-finite loss (bad batch / overflow) skips the
+        # update instead of poisoning the weights
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_ema = (

@@ -212,6 +212,11 @@ def make_train_step(model: TRBAModel, tx, pad_id: int):
             return trba_ce_loss(logits, target_y, pad_id), mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # failure guard: non-finite loss skips the update
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
         updates, new_opt = tx.update(grads, opt_state, params)
         # plateau scheduler: traced multiplicative lr scale on the final step
         updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)

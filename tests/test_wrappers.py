@@ -177,3 +177,21 @@ class TestEASTDeviceNMS:
     def test_device_nms_bad_value(self):
         with pytest.raises(ValueError):
             EAST(target_size=64, nms="banana")
+
+
+class TestEASTPredictBatch:
+    def test_matches_predict(self, east, page_image):
+        single = east.predict(page_image)
+        batch = east.predict_batch([page_image, page_image], batch_size=1)
+        assert len(batch) == 2
+        for res in batch:
+            ws = [w for b in res["page"].blocks for w in b.words]
+            wh = [w for b in single["page"].blocks for w in b.words]
+            assert len(ws) == len(wh)
+
+    def test_batched_program_path(self, east, page_image):
+        batch = east.predict_batch([page_image] * 3, batch_size=2)
+        assert len(batch) == 3
+        n0 = sum(len(b.words) for b in batch[0]["page"].blocks)
+        n2 = sum(len(b.words) for b in batch[2]["page"].blocks)
+        assert n0 == n2
