@@ -200,15 +200,46 @@ class AttentionDecoder(nn.Module):
         proj_enc_r = enc_r @ self.w_i2h
         batch_idx = jnp.arange(b)
 
+        if self.use_pallas:
+            from ..ops.pallas_attention import (
+                attention_lstm_step_pallas,
+                pad_step_params,
+            )
+
+            w_ih_p, v_pad = pad_step_params(self.lstm_kernel_ih, self.num_classes)
+            enc_f = enc_r.astype(jnp.float32)
+            proj_f = proj_enc_r.astype(jnp.float32)
+
+            def flat_cell(h_flat, c_flat, tok_flat):
+                onehot_p = jax.nn.one_hot(tok_flat, v_pad, dtype=jnp.float32)
+                h2, c2 = attention_lstm_step_pallas(
+                    enc_f, proj_f, h_flat.astype(jnp.float32),
+                    c_flat.astype(jnp.float32), onehot_p,
+                    self.w_h2h.astype(jnp.float32),
+                    self.b_h2h.astype(jnp.float32),
+                    self.w_score.astype(jnp.float32),
+                    w_ih_p.astype(jnp.float32),
+                    self.lstm_kernel_hh.astype(jnp.float32),
+                    self.lstm_bias.astype(jnp.float32),
+                    interpret=self.pallas_interpret,
+                )
+                return h2.astype(self.dtype), c2.astype(self.dtype)
+
+        else:
+
+            def flat_cell(h_flat, c_flat, tok_flat):
+                h2, c2, _ = self._cell(
+                    h_flat, c_flat, enc_r, proj_enc_r, self._onehot(tok_flat)
+                )
+                return h2, c2
+
         def step(carry, t):
             tok, scores, h, c, finished = carry
             # (B, k, ·) → flat cell step
-            h2, c2, _ = self._cell(
+            h2, c2 = flat_cell(
                 h.reshape(b * k, hdim),
                 c.reshape(b * k, hdim),
-                enc_r,
-                proj_enc_r,
-                self._onehot(tok.reshape(b * k)),
+                tok.reshape(b * k),
             )
             logits = self._mask_blank(self._logits(h2))  # (B*k, V)
             logits = logits / jnp.maximum(temperature, 1e-6)

@@ -71,3 +71,21 @@ def test_pad_step_params():
     assert v_pad == 128
     assert padded.shape == (128 + 128, 64)
     np.testing.assert_array_equal(np.asarray(padded[228:]), 0.0)
+
+
+def test_beam_decode_parity(setup):
+    dec, variables, enc, (b, t, e, h, v) = setup
+    logits_ref, tokens_ref = dec.apply(
+        variables, enc, max_len=6, beam_size=3, method="beam"
+    )
+    dec_p = AttentionDecoder(
+        enc_dim=e, hidden_size=h, num_classes=v,
+        use_pallas=True, pallas_interpret=True,
+    )
+    logits_p, tokens_p = dec_p.apply(
+        variables, enc, max_len=6, beam_size=3, method="beam"
+    )
+    np.testing.assert_array_equal(np.asarray(tokens_p), np.asarray(tokens_ref))
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_ref), rtol=1e-4, atol=1e-4
+    )
