@@ -44,20 +44,21 @@ def _line_intersection(p1, p2, a, b):
 
 
 def _clip_batch(polys, counts, a, b):
-    """Clip P padded polygons against the half-plane left of edge a→b.
+    """Clip P polygons against the half-plane left of edge a→b.
 
-    polys: (P, 8, 2); counts: (P,) int32; a, b: (P, 2).
-    Returns (new_polys (P, 8, 2), new_counts (P,)).
+    Gather-free formulation: polygons are REPETITION-PADDED — slots past the
+    live vertex count repeat the last vertex, so the previous-vertex lookup
+    is a static roll (slot 0's prev = slot 7 = the true last vertex) and
+    zero-length pad edges are inert for both crossing detection and area.
+    Duplicate-vertex slots are suppressed from emission, keeping the true
+    Sutherland–Hodgman output (≤ 8 vertices for quad∩quad) in capacity.
+
+    polys: (P, 8, 2) repetition-padded; counts: (P,); a, b: (P, 2).
+    Returns (new_polys repetition-padded, new_counts).
     """
     p = polys.shape[0]
-    j = jnp.arange(_SLOTS)
-    cnt = jnp.maximum(counts, 1)[:, None]
-    valid = j[None, :] < counts[:, None]  # (P, 8)
-    prev_idx = (j[None, :] + cnt - 1) % cnt  # (P, 8)
-    prev = jnp.take_along_axis(
-        polys, prev_idx[:, :, None].astype(jnp.int32), axis=1
-    )
     curr = polys
+    prev = jnp.roll(polys, 1, axis=1)
 
     ab = b - a  # (P, 2)
 
@@ -68,12 +69,13 @@ def _clip_batch(polys, counts, a, b):
 
     curr_in = side(curr) >= 0
     prev_in = side(prev) >= 0
+    is_dup = jnp.all(curr == prev, axis=-1)  # pad slots / repeated vertices
 
     inter = _line_intersection(prev, curr, a[:, None, :], b[:, None, :])
 
     # per slot: emit intersection first (on edge crossing), then curr (if in)
-    emit_inter = (curr_in ^ prev_in) & valid
-    emit_curr = curr_in & valid
+    emit_inter = (curr_in ^ prev_in) & ~is_dup
+    emit_curr = curr_in & ~is_dup
     emits = jnp.stack([inter, curr], axis=2).reshape(p, 2 * _SLOTS, 2)
     emask = jnp.stack([emit_inter, emit_curr], axis=2).reshape(p, 2 * _SLOTS)
 
@@ -83,18 +85,22 @@ def _clip_batch(polys, counts, a, b):
     )[..., :_SLOTS]  # (P, 16, 8); masked emits land in the dumped column
     new_polys = jnp.einsum("peo,pec->poc", onehot, emits)
     new_counts = emask.sum(axis=1).astype(jnp.int32)
+
+    # repetition-pad: fill slots ≥ count with the last emitted vertex
+    slot = jax.lax.broadcasted_iota(jnp.int32, (p, _SLOTS), 1)
+    live = slot < new_counts[:, None]
+    is_last = slot == (new_counts - 1)[:, None]
+    last_v = jnp.sum(new_polys * is_last[..., None], axis=1, keepdims=True)
+    new_polys = jnp.where(live[..., None], new_polys, last_v)
     return new_polys, new_counts
 
 
-def _padded_area(polys, counts):
-    """Shoelace area of padded polygons (P, 8, 2) with counts (P,)."""
-    j = jnp.arange(_SLOTS)
-    cnt = jnp.maximum(counts, 1)[:, None]
-    nxt_idx = (j[None, :] + 1) % cnt
-    nxt = jnp.take_along_axis(polys, nxt_idx[:, :, None].astype(jnp.int32), axis=1)
-    valid = (j[None, :] < counts[:, None]).astype(polys.dtype)
+def _padded_area(polys):
+    """Shoelace area of repetition-padded polygons (P, 8, 2); pad edges are
+    zero-length and the wrap (slot 7 → slot 0) is geometrically exact."""
+    nxt = jnp.roll(polys, -1, axis=1)
     cross = polys[..., 0] * nxt[..., 1] - nxt[..., 0] * polys[..., 1]
-    return jnp.abs(jnp.sum(cross * valid, axis=1)) / 2.0
+    return jnp.abs(jnp.sum(cross, axis=1)) / 2.0
 
 
 def _quad_area(q):
@@ -109,14 +115,14 @@ def quad_iou_pairs(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     """IoU of paired quads: q1, q2 (P, 4, 2) → (P,)."""
     p = q1.shape[0]
     polys = jnp.concatenate(
-        [q1, jnp.zeros((p, _SLOTS - 4, 2), q1.dtype)], axis=1
-    )
+        [q1, jnp.repeat(q1[:, 3:4], _SLOTS - 4, axis=1)], axis=1
+    )  # repetition-padded
     counts = jnp.full((p,), 4, jnp.int32)
     for e in range(4):
         a = q2[:, e]
         b = q2[:, (e + 1) % 4]
         polys, counts = _clip_batch(polys, counts, a, b)
-    inter = jnp.where(counts > 2, _padded_area(polys, counts), 0.0)
+    inter = jnp.where(counts > 2, _padded_area(polys), 0.0)
     union = _quad_area(q1) + _quad_area(q2) - inter
     return jnp.where(union > 0, inter / union, 0.0)
 
