@@ -18,13 +18,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: CPU compiles of the big train steps dominate
-# suite time; cache across runs
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("MANUSCRIPT_TPU_JAX_CACHE", "/tmp/jax_compile_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compile cache — the XLA:CPU AOT loader on this host
+# rejects its own cache entries (machine-feature canonicalization mismatch)
+# and can SIGILL on load. Opt in via MANUSCRIPT_TPU_JAX_CACHE if known-good.
+_cache = os.environ.get("MANUSCRIPT_TPU_JAX_CACHE")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
