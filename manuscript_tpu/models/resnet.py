@@ -12,7 +12,7 @@ mode folds into the surrounding convs under XLA fusion.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

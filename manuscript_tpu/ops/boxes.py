@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geometry import point_in_polygon, polygon_area_batch
+from .geometry import polygon_area_batch
 
 
 def expand_boxes(

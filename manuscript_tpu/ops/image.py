@@ -13,7 +13,7 @@ consume uint8 host arrays with a single host→device transfer.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 

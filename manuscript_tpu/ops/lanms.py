@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .geometry import normalize_polygon, polygon_iou, should_merge
+from .geometry import normalize_polygon, should_merge
 
 _EMPTY = np.zeros((0, 9), dtype=np.float32)
 

@@ -21,11 +21,10 @@ TPU-first design:
 
 from __future__ import annotations
 
-import os
 import time
 from functools import partial
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import flax.serialization
 import jax

@@ -13,9 +13,6 @@ TRBA loss: cross-entropy with PAD ignored (reference: train.py:478).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -10,7 +10,6 @@ resume, mirroring Optuna's sqlite storage behavior.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
