@@ -40,6 +40,9 @@ def standard_nms(
         return polys_arr, scores_arr
     order = np.argsort(-scores_arr)
     n = order.shape[0]
+    # spatial prior: disjoint bboxes ⇒ IoU 0, skip the polygon clipping
+    x0 = polys_arr[:, :, 0].min(1); x1 = polys_arr[:, :, 0].max(1)
+    y0 = polys_arr[:, :, 1].min(1); y1 = polys_arr[:, :, 1].max(1)
     suppressed = np.zeros(polys_arr.shape[0], dtype=bool)
     keep = []
     for i in range(n):
@@ -50,6 +53,9 @@ def standard_nms(
         for j in range(i + 1, n):
             jdx = order[j]
             if suppressed[jdx]:
+                continue
+            if (x1[idx] < x0[jdx] or x1[jdx] < x0[idx]
+                    or y1[idx] < y0[jdx] or y1[jdx] < y0[idx]):
                 continue
             if should_merge(polys_arr[idx], polys_arr[jdx], iou_threshold):
                 suppressed[jdx] = True
