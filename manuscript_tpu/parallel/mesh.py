@@ -34,9 +34,28 @@ def make_mesh(
     model_parallel: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """(data × model) mesh over the first n_devices devices."""
-    devs = list(devices if devices is not None else jax.devices())
+    """(data × model) mesh over the first n_devices devices.
+
+    When the default backend has fewer than ``n_devices`` devices, falls
+    back to the CPU backend (virtual devices via
+    ``--xla_force_host_platform_device_count``). On this host the axon TPU
+    platform registration wins over ``JAX_PLATFORMS=cpu``, so
+    ``jax.devices()`` can report 1 TPU while ``jax.devices("cpu")`` has the
+    8 virtual devices — the fallback makes SPMD dryruns work either way.
+    """
+    devs = list(devices) if devices is not None else list(jax.devices())
+    if n_devices is not None and devices is None and len(devs) < n_devices:
+        try:
+            cpu = list(jax.devices("cpu"))
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n_devices:
+            devs = cpu
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devs)} available"
+            )
         devs = devs[:n_devices]
     n = len(devs)
     if n % model_parallel != 0:

@@ -11,9 +11,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# Low-core hosts timeslice the 8 SPMD partitions over one core; slow
+# participants reach collective rendezvous late and the default 40s
+# terminate timeout kills the process mid all-reduce.
+if "collective_call_terminate" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax  # noqa: E402
 
