@@ -1,0 +1,296 @@
+"""Fused detect→recognize OCR: the whole page pipeline as one device program.
+
+The classic pipeline (pipeline.py; reference src/manuscript/_pipeline.py)
+pays the host↔device link three times per page: detector candidates come
+down, word crops go back up, recognition results come down — and the crop
+extraction itself runs on the host. On the axon link (~30 ms fixed d2h
+latency) that dominates end-to-end latency.
+
+Here the handoff stays in HBM (SURVEY.md §3.1/§7 north star): one jitted
+program runs
+
+  normalize → EAST forward → cell decode → top-k → parallel LANMS →
+  expansion/rescale/containment/anomaly/axis-align → device crop-gather
+  (axis-aligned clamp + white-pad resize, reference _pipeline.py:204-221
+  semantics) → TRBA encode → greedy/beam decode → confidences
+
+so each page costs ONE h2d (the resized uint8 page) and ONE d2h (boxes +
+token ids + confidences, ~100 KB). ``predict_many`` double-buffers: page
+i+1's program is dispatched before page i's results are fetched, hiding the
+link latency behind device compute.
+
+Documented semantics deltas vs the classic path (all tested):
+* crops are sampled from the detector-resolution image (device-resident)
+  rather than the original-resolution page — bilinear upscale vs cv2
+  INTER_AREA/LINEAR from full-res;
+* LANMS merges chains against the previous candidate rather than the
+  running weighted average (ops/lanms_jax.locality_aware_nms_parallel);
+* at most ``max_words`` words are recognized per page (score-descending);
+  further words keep their boxes but get no text.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .ops.crop_gather import crop_resize_pad
+from .ops.decode import decode_cells_jax, topk_candidates
+from .ops.image import detector_preprocess_host, read_image
+from .ops.lanms_jax import locality_aware_nms_parallel
+from .ops.postprocess_jax import postprocess_boxes_jax
+from .ops.boxes import quad_bbox_int
+from .ops.reading_order import reading_order_permutation
+from .recognizers.charset import decode_tokens
+from .recognizers.trba import sequence_confidence
+from .types import Block, Page, Word
+from .utils.visualize import visualize_page
+
+
+class FusedOCR:
+    """One-program page OCR over native EAST + TRBA wrappers.
+
+    Takes already-constructed wrappers (their variables are device-resident
+    and layout-canonicalized) plus the decode knobs; builds and caches the
+    fused jit. Thresholds are traced scalars — sweeping them never
+    recompiles.
+    """
+
+    def __init__(
+        self,
+        detector,
+        recognizer,
+        max_words: int = 256,
+        mode: str = "beam",
+        beam_size: int = 8,
+        alpha: float = 0.9,
+        temperature: float = 1.7,
+        min_text_size: int = 5,
+    ):
+        if mode not in ("greedy", "beam"):
+            raise ValueError(f"Unknown mode: {mode}")
+        self.detector = detector
+        self.recognizer = recognizer
+        self.max_words = max_words
+        self.mode = mode
+        self.beam_size = beam_size
+        self.alpha = alpha
+        self.temperature = temperature
+        self.min_text_size = min_text_size
+        self._fn = None
+
+    # ------------------------------------------------------------------
+
+    def _build_program(self):
+        det, rec = self.detector, self.recognizer
+        east_model, trba_model = det.model, rec.model
+        q = det.quantization
+        geo_scale = 1.0 / det.score_geo_scale
+        max_cands = det.max_candidates
+        max_boxes = det.max_boxes
+        expand_w, expand_h = det.expand_ratio_w, det.expand_ratio_h
+        axis_aligned = det.axis_aligned_output
+        remove_anoms = det.remove_area_anomalies
+        anomaly_sigma = det.anomaly_sigma_threshold
+        anomaly_min = det.anomaly_min_box_count
+        max_words = self.max_words
+        min_text = float(self.min_text_size)
+        mode = self.mode
+        beam_size, alpha, temp = self.beam_size, self.alpha, self.temperature
+        max_len, eos_id = rec.max_length, rec.eos_id
+        img_h, img_w = rec.img_h, rec.img_w
+
+        @jax.jit
+        def fn(east_vars, trba_vars, u8_img, score_thresh, iou_thresh,
+               scale_x, scale_y):
+            # ---- detect ----
+            x = (u8_img.astype(east_model.dtype) / 255.0 - 0.5) / 0.5
+            out = east_model.apply(east_vars, x[None])
+            score = out["score"][0, :, :, 0]
+            geo = out["geometry"][0]
+            quads, scores, valid = decode_cells_jax(
+                score, geo, score_thresh, quantization=q, scale=geo_scale
+            )
+            cands = topk_candidates(quads, scores, valid, max_cands)
+            merged, count = locality_aware_nms_parallel(
+                cands, iou_thresh, max_out=max_boxes
+            )
+            boxes9, bvalid = postprocess_boxes_jax(
+                merged,
+                count,
+                expand_w,
+                expand_h,
+                scale_x,
+                scale_y,
+                axis_aligned=axis_aligned,
+                remove_anomalies=remove_anoms,
+                anomaly_sigma=anomaly_sigma,
+                anomaly_min_count=anomaly_min,
+            )
+
+            # ---- word selection (original-resolution bboxes) ----
+            bq = boxes9[:, :8].reshape(max_boxes, 4, 2)
+            x_min = jnp.floor(bq[..., 0].min(axis=1))
+            x_max = jnp.floor(bq[..., 0].max(axis=1))
+            y_min = jnp.floor(bq[..., 1].min(axis=1))
+            y_max = jnp.floor(bq[..., 1].max(axis=1))
+            big_enough = ((x_max - x_min) >= min_text) & (
+                (y_max - y_min) >= min_text
+            )
+            sel = bvalid & big_enough
+            sel = sel & (jnp.cumsum(sel) <= max_words)
+            slot = jnp.where(sel, jnp.cumsum(sel) - 1, max_words)
+            n_sel = jnp.sum(sel)
+
+            def scatter(vals, fill=0.0, dt=jnp.float32):
+                buf = jnp.full((max_words + 1,), fill, dt)
+                return buf.at[slot].set(vals)[:max_words]
+
+            src_idx = scatter(
+                jnp.arange(max_boxes, dtype=jnp.int32), 0, jnp.int32
+            )
+            cb_x1 = scatter(x_min / scale_x)
+            cb_y1 = scatter(y_min / scale_y)
+            cb_x2 = scatter(x_max / scale_x)
+            cb_y2 = scatter(y_max / scale_y)
+            wvalid = jnp.arange(max_words) < n_sel
+
+            # ---- crop-gather (stays in HBM) ----
+            det_boxes = jnp.stack([cb_x1, cb_y1, cb_x2, cb_y2], axis=1)
+            crops = crop_resize_pad(
+                u8_img, det_boxes, wvalid, out_h=img_h, out_w=img_w
+            )
+
+            # ---- recognize ----
+            xc = (crops.astype(trba_model.dtype) / 255.0 - 0.5) / 0.5
+            if mode == "greedy":
+                logits, preds = trba_model.apply(
+                    trba_vars, xc, max_len=max_len, method="greedy"
+                )
+            else:
+                logits, preds = trba_model.apply(
+                    trba_vars,
+                    xc,
+                    max_len=max_len,
+                    beam_size=beam_size,
+                    alpha=alpha,
+                    temperature=temp,
+                    method="beam",
+                )
+            preds, confs = sequence_confidence(logits, preds, eos_id)
+            return boxes9, bvalid, src_idx, wvalid, preds, confs
+
+        return fn
+
+    @property
+    def program(self):
+        if self._fn is None:
+            self._fn = self._build_program()
+        return self._fn
+
+    # ------------------------------------------------------------------
+
+    def _dispatch(self, image) -> tuple:
+        """Read + resize + upload one page; returns (orig_img, device outs)."""
+        det = self.detector
+        img = read_image(image)
+        resized = detector_preprocess_host(img, det.target_size)
+        orig_h, orig_w = img.shape[:2]
+        outs = self.program(
+            det.variables,
+            self.recognizer.variables,
+            jnp.asarray(resized),
+            jnp.float32(det.score_thresh),
+            jnp.float32(det.iou_threshold),
+            jnp.float32(orig_w / det.target_size),
+            jnp.float32(orig_h / det.target_size),
+        )
+        return img, outs
+
+    def _finish(self, img, outs, vis: bool):
+        boxes9, bvalid, src_idx, wvalid, preds, confs = jax.device_get(outs)
+        rec = self.recognizer
+
+        words: List[Word] = []
+        row_to_word = {}
+        for row in np.nonzero(bvalid)[0]:
+            quad = boxes9[row]
+            word = Word(
+                polygon=quad[:8].reshape(4, 2).tolist(),
+                detection_confidence=float(np.clip(quad[8], 0.0, 1.0)),
+            )
+            row_to_word[int(row)] = word
+            words.append(word)
+
+        n_rec = int(wvalid.sum())
+        for s in range(n_rec):
+            word = row_to_word.get(int(src_idx[s]))
+            if word is None:  # pragma: no cover — selection ⊆ valid rows
+                continue
+            word.text = decode_tokens(
+                preds[s], rec.itos, rec.pad_id, rec.eos_id, rec.blank_id
+            )
+            word.recognition_confidence = float(np.clip(confs[s], 0.0, 1.0))
+
+        if words:
+            boxes = [
+                quad_bbox_int(np.asarray(w.polygon, dtype=np.int32))
+                for w in words
+            ]
+            perm = reading_order_permutation(boxes)
+            words = [words[i] for i in perm]
+        page = Page(blocks=[Block(words=words)])
+        if vis:
+            pil = Image.fromarray(np.asarray(img)) if not isinstance(
+                img, Image.Image
+            ) else img
+            return page, visualize_page(pil, page, show_order=True)
+        return page
+
+    # ------------------------------------------------------------------
+
+    def predict(
+        self,
+        image: Union[str, np.ndarray, Image.Image],
+        vis: bool = False,
+        profile: bool = False,
+    ):
+        t0 = time.time()
+        img, outs = self._dispatch(image)
+        result = self._finish(img, outs, vis)
+        if profile:
+            print(f"Fused pipeline total: {time.time() - t0:.3f}s")
+        return result
+
+    def predict_many(
+        self,
+        images: List[Union[str, np.ndarray, Image.Image]],
+        vis: bool = False,
+        profile: bool = False,
+        queue_depth: int = 3,
+    ) -> List[Any]:
+        """OCR many pages with a bounded in-flight queue: the host prepares
+        and dispatches page i+1..i+queue_depth while the device runs page i,
+        so link latency and host post-processing hide behind device compute."""
+        t0 = time.time()
+        results: List[Any] = []
+        pending: List[tuple] = []
+        for image in images:
+            pending.append(self._dispatch(image))
+            if len(pending) > queue_depth:
+                img, outs = pending.pop(0)
+                results.append(self._finish(img, outs, vis))
+        for img, outs in pending:
+            results.append(self._finish(img, outs, vis))
+        if profile:
+            dt = time.time() - t0
+            print(
+                f"Fused batch: {len(images)} pages in {dt:.3f}s "
+                f"({len(images) / max(dt, 1e-9):.2f} pages/s)"
+            )
+        return results

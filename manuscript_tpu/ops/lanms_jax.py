@@ -213,8 +213,21 @@ def locality_aware_nms_jax(
     m = m + has_cur.astype(jnp.int32)
 
     merged_valid = jnp.arange(max_out) < m
+    return _standard_nms(out_p, out_s, merged_valid, iou_threshold, cands.dtype)
 
-    # ---- standard greedy NMS over merged quads ----
+
+def _standard_nms(out_p, out_s, merged_valid, iou_threshold, dtype):
+    """Exact greedy NMS over merged quads, as a fixpoint iteration.
+
+    The greedy solution satisfies the unique fixpoint
+      kept[i] = valid[i] ∧ ¬∃ j<i (score order): kept[j] ∧ IoU[j,i] > t.
+    Since kept[i] depends only on kept[j] for j<i, iterating from
+    kept = valid fixes all rows of dependency depth ≤ t after t sweeps —
+    convergence in suppression-chain depth (typically 2–4) iterations
+    instead of a max_out-step sequential scan. Each sweep is one masked
+    (M, M) reduction — MXU/VPU-friendly.
+    """
+    max_out = out_p.shape[0]
     iou_mat = quad_iou_matrix(out_p, out_p)  # (max_out, max_out)
 
     nms_key = jnp.where(merged_valid, out_s, -jnp.inf)
@@ -222,15 +235,22 @@ def locality_aware_nms_jax(
     iou_sorted = iou_mat[nms_order][:, nms_order]
     valid_sorted = merged_valid[nms_order]
 
-    def suppress_step(suppressed, i):
-        keep = valid_sorted[i] & ~suppressed[i]
-        row = iou_sorted[i] > iou_threshold
-        later = jnp.arange(max_out) > i
-        suppressed = suppressed | (keep & row & later)
-        return suppressed, keep
+    idx = jnp.arange(max_out)
+    # suppressor[i, j] = True when an earlier (higher-score) kept j kills i
+    suppressor = (iou_sorted > iou_threshold) & (idx[None, :] < idx[:, None])
+    suppressor = suppressor & valid_sorted[None, :]
 
-    _, kept = jax.lax.scan(
-        suppress_step, jnp.zeros((max_out,), bool), jnp.arange(max_out)
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_out)
+
+    def body(state):
+        kept, _, it = state
+        new = valid_sorted & ~jnp.any(suppressor & kept[None, :], axis=1)
+        return new, jnp.any(new != kept), it + 1
+
+    kept, _, _ = jax.lax.while_loop(
+        cond, body, (valid_sorted, jnp.bool_(True), jnp.int32(0))
     )
 
     # compact kept rows to the front, preserving score-descending order;
@@ -242,6 +262,79 @@ def locality_aware_nms_jax(
     boxes_sorted = jnp.concatenate(
         [out_p[nms_order].reshape(max_out, 8), out_s[nms_order, None]], axis=1
     )
-    out = jnp.zeros((max_out + 1, 9), cands.dtype)
+    out = jnp.zeros((max_out + 1, 9), dtype)
     out = out.at[target].set(boxes_sorted)
     return out[:max_out], n_kept
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def locality_aware_nms_parallel(
+    cands: jnp.ndarray, iou_threshold: jnp.ndarray, max_out: int = 1024
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel device LANMS — the fused-pipeline hot path.
+
+    Same structure as ``locality_aware_nms_jax`` but the inherently serial
+    x-sorted weighted merge is replaced by a segmented formulation that has
+    no sequential scan at all:
+
+      1. IoU between each candidate and its predecessor (one vectorized
+         batch of quad clips);
+      2. chain-break where that IoU ≤ threshold → segment ids by cumsum;
+      3. per-segment score-weighted vertex average via ``segment_sum``.
+
+    Semantics delta vs the host/scan kernels (documented, tested): the host
+    merges candidate i into the RUNNING weighted average and compares IoU
+    against it; here the merge test uses the PREVIOUS candidate. For EAST
+    decode outputs — near-duplicate quads from adjacent cells along a text
+    line — the two chains agree except at borderline-IoU links. Vertex
+    alignment is likewise pairwise against the predecessor's raw quad
+    (decode emits consistent vertex orderings, so it is normally identity).
+    """
+    k = cands.shape[0]
+    scores = cands[:, 8]
+    valid = scores >= 0.0
+
+    sort_key = jnp.where(valid, cands[:, 0], jnp.inf)
+    order = jnp.argsort(sort_key, stable=True)
+    quads = cands[:, :8].reshape(k, 4, 2)[order]
+    sc = jnp.where(valid[order], scores[order], 0.0)
+    val = valid[order]
+
+    prev = jnp.concatenate([quads[:1], quads[:-1]], axis=0)
+    aligned = jax.vmap(_normalize_quad)(prev, quads)
+
+    iou_prev = quad_iou_pairs(quads[1:], quads[:-1])  # (k-1,)
+    same = val[1:] & val[:-1] & (iou_prev > iou_threshold)
+    brk = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    seg = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    seg = jnp.where(val, seg, k)  # invalid rows → dump segment
+
+    w = sc
+    vert_sum = jax.ops.segment_sum(
+        aligned.reshape(k, 8) * w[:, None], seg, num_segments=k + 1
+    )[:k]
+    w_sum = jax.ops.segment_sum(w, seg, num_segments=k + 1)[:k]
+    s_max = jax.ops.segment_max(
+        jnp.where(val, sc, -jnp.inf), seg, num_segments=k + 1
+    )[:k]
+    seg_valid = w_sum > 0
+    merged = vert_sum / jnp.maximum(w_sum, 1e-12)[:, None]
+
+    # compact valid segments (x-sorted order) into the (max_out,) buffer
+    pos = jnp.cumsum(seg_valid) - 1
+    target = jnp.where(seg_valid & (pos < max_out), pos, max_out)
+    out_p = (
+        jnp.zeros((max_out + 1, 8), cands.dtype)
+        .at[target]
+        .set(merged)[:max_out]
+        .reshape(max_out, 4, 2)
+    )
+    out_s = (
+        jnp.full((max_out + 1,), -jnp.inf, cands.dtype)
+        .at[target]
+        .set(jnp.where(seg_valid, s_max, -jnp.inf))[:max_out]
+    )
+    m = jnp.minimum(jnp.sum(seg_valid), max_out)
+
+    merged_valid = jnp.arange(max_out) < m
+    return _standard_nms(out_p, out_s, merged_valid, iou_threshold, cands.dtype)

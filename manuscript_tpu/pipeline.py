@@ -35,11 +35,26 @@ class Pipeline:
         detector=None,
         recognizer=None,
         min_text_size: int = 5,
+        fused: object = "auto",
+        mode: str = "beam",
+        beam_size: int = 8,
+        alpha: float = 0.9,
+        temperature: float = 1.7,
+        max_words: int = 256,
     ):
         """OCR pipeline over a pluggable detector + recognizer.
 
         Passing None for either slot instantiates the default EAST / TRBA
         (lazy import so contract tests with fakes never touch model code).
+
+        ``fused``: "auto" (default) routes ``predict``/``process_batch``
+        through the single-device-program fused path (fused.FusedOCR — the
+        detector→recognizer handoff stays in HBM) whenever both components
+        are the native EAST/TRBA wrappers; duck-typed components fall back
+        to the classic host loop. True forces it (raises if not fusable),
+        False disables. ``mode``/``beam_size``/``alpha``/``temperature``
+        set the fused decode (defaults match TRBA.predict); ``max_words``
+        caps recognized words per page on the fused path.
         """
         if detector is None:
             from .detectors import EAST
@@ -53,6 +68,36 @@ class Pipeline:
         self.recognizer = recognizer
         self.min_text_size = min_text_size
 
+        self._fused = None
+        if fused is True or fused == "auto":
+            if self._fusable(detector, recognizer):
+                from .fused import FusedOCR
+
+                self._fused = FusedOCR(
+                    detector,
+                    recognizer,
+                    max_words=max_words,
+                    mode=mode,
+                    beam_size=beam_size,
+                    alpha=alpha,
+                    temperature=temperature,
+                    min_text_size=min_text_size,
+                )
+            elif fused is True:
+                raise ValueError(
+                    "fused=True needs native EAST + TRBA components "
+                    "(duck-typed detector/recognizer can't be fused)."
+                )
+
+    @staticmethod
+    def _fusable(detector, recognizer) -> bool:
+        return all(
+            hasattr(detector, a)
+            for a in ("model", "variables", "max_boxes", "max_candidates")
+        ) and all(
+            hasattr(recognizer, a) for a in ("model", "variables", "itos")
+        )
+
     def predict(
         self,
         image: Union[str, np.ndarray, Image.Image],
@@ -61,6 +106,9 @@ class Pipeline:
         profile: bool = False,
     ):
         start_time = time.time()
+
+        if self._fused is not None and recognize_text:
+            return self._fused.predict(image, vis=vis, profile=profile)
 
         # ---- detection ----
         t0 = time.time()
@@ -161,14 +209,18 @@ class Pipeline:
         are recognized in one stream — amortizing device dispatch and
         filling the recognizer's batch buckets (the reference's version was
         a broken stub; SURVEY.md §7 quirks)."""
+        if self._fused is not None and recognize_text:
+            return self._fused.predict_many(images, vis=vis, profile=profile)
+
         if not hasattr(self.detector, "predict_batch"):
-            results = []
-            for img in images:
-                res = self.predict(
+            # per-page fallback; vis=True keeps (page, vis_image) tuples,
+            # matching the batched path's return shape
+            return [
+                self.predict(
                     img, recognize_text=recognize_text, vis=vis, profile=profile
                 )
-                results.append(res[0] if vis else res)
-            return results
+                for img in images
+            ]
 
         t_start = time.time()
         arrays = [read_image(im) for im in images]

@@ -46,6 +46,23 @@ from .charset import (
 DEFAULT_CACHE = Path.home() / ".manuscript_tpu" / "trba"
 
 
+def sequence_confidence(logits, preds, eos_id):
+    """On-device confidence: mean exp(log-softmax at predicted ids) over each
+    row's steps up to and incl. its first EOS. Keeps the device→host
+    transfer to (B, T) ids + (B,) floats. Batch-independent by design (the
+    reference averages over however many steps the whole batch ran)."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    token_lp = jnp.take_along_axis(log_probs, preds[..., None], -1)[..., 0]
+    t = preds.shape[1]
+    is_eos = preds == eos_id
+    has_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    upto = jnp.where(has_eos, first_eos + 1, t)
+    mask = jnp.arange(t)[None, :] < upto[:, None]
+    conf = jnp.sum(jnp.exp(token_lp) * mask, axis=1) / jnp.maximum(upto, 1)
+    return preds, conf
+
+
 class TRBA:
     def __init__(
         self,
@@ -200,19 +217,7 @@ class TRBA:
         model, max_len, eos_id = self.model, self.max_length, self.eos_id
 
         def finish(logits, preds):
-            """On-device confidence: mean exp(log-softmax at predicted ids)
-            over each row's steps up to and incl. its first EOS. Keeps the
-            device→host transfer to (B,T) ids + (B,) floats."""
-            log_probs = jax.nn.log_softmax(logits, axis=-1)
-            token_lp = jnp.take_along_axis(log_probs, preds[..., None], -1)[..., 0]
-            t = preds.shape[1]
-            is_eos = preds == eos_id
-            has_eos = jnp.any(is_eos, axis=1)
-            first_eos = jnp.argmax(is_eos, axis=1)
-            upto = jnp.where(has_eos, first_eos + 1, t)
-            mask = jnp.arange(t)[None, :] < upto[:, None]
-            conf = jnp.sum(jnp.exp(token_lp) * mask, axis=1) / jnp.maximum(upto, 1)
-            return preds, conf
+            return sequence_confidence(logits, preds, eos_id)
 
         if mode == "greedy":
 

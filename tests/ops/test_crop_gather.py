@@ -1,0 +1,118 @@
+"""Device crop-gather parity vs the host crop + resize_and_pad path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from manuscript_tpu.ops.crop_gather import crop_resize_pad
+from manuscript_tpu.ops.image import crop_axis_aligned, resize_and_pad
+
+
+def _host_crop(img, box, out_h, out_w):
+    x1, y1, x2, y2 = box
+    poly = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.int32)
+    region = crop_axis_aligned(img, poly)
+    return resize_and_pad(region, out_h, out_w)
+
+
+def _pad_mask(img, box, out_h, out_w):
+    """Geometric white-pad region for a clamped box (True = padding)."""
+    h, w = img.shape[:2]
+    x1, y1 = max(0, int(box[0])), max(0, int(box[1]))
+    x2, y2 = min(w, int(box[2])), min(h, int(box[3]))
+    cw, ch = max(x2 - x1, 1), max(y2 - y1, 1)
+    scale = min(out_h / ch, out_w / cw)
+    new_w, new_h = max(1, round(cw * scale)), max(1, round(ch * scale))
+    y0 = (out_h - new_h) // 2
+    mask = np.ones((out_h, out_w), bool)
+    mask[y0 : y0 + new_h, :new_w] = False
+    return mask
+
+
+def _assert_close(img, box, got, ref, mean_tol, q99_tol=None):
+    pad = _pad_mask(img, box, got.shape[0], got.shape[1])
+    assert (got[pad] == 255).all()
+    assert (ref[pad] == 255).all()
+    diff = np.abs(got[~pad].astype(int) - ref[~pad].astype(int))
+    assert diff.mean() < mean_tol
+    if q99_tol is not None:
+        assert np.quantile(diff, 0.99) <= q99_tol
+
+
+@pytest.fixture
+def img(rng):
+    # smooth image: bilinear (device) vs cv2 INTER_LINEAR (host) agree to
+    # rounding on smooth content; hard random noise would amplify the
+    # fixed-point vs float interpolator difference
+    base = rng.integers(0, 255, size=(20, 24, 3)).astype(np.uint8)
+    import cv2
+
+    return cv2.resize(base, (240, 200), interpolation=cv2.INTER_CUBIC)
+
+
+class TestCropResizePad:
+    def test_upscale_crop_matches_host(self, img):
+        boxes = np.array([[10.0, 20.0, 90.0, 44.0]], np.float32)  # 80×24 → ↑
+        got = np.asarray(
+            crop_resize_pad(
+                jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
+                out_h=64, out_w=256,
+            )
+        )[0]
+        ref = _host_crop(img, (10, 20, 90, 44), 64, 256)
+        assert got.shape == ref.shape
+        # cv2 INTER_LINEAR runs fixed-point (8-bit fractions); q99 absorbs
+        # the worst sharp-edge rounding deltas
+        _assert_close(img, (10, 20, 90, 44), got, ref, mean_tol=1.5, q99_tol=8)
+
+    def test_geometry_left_aligned_v_centered(self, img):
+        boxes = np.array([[0.0, 0.0, 100.0, 20.0]], np.float32)  # 5:1 w:h
+        got = np.asarray(
+            crop_resize_pad(
+                jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
+                out_h=64, out_w=256,
+            )
+        )[0]
+        ref = _host_crop(img, (0, 0, 100, 20), 64, 256)
+        # scaled content: scale = min(64/20, 256/100) = 2.56 → 256×51
+        _assert_close(img, (0, 0, 100, 20), got, ref, mean_tol=2.0)
+
+    def test_invalid_rows_white(self, img):
+        boxes = np.array(
+            [[10.0, 10.0, 50.0, 30.0], [10.0, 10.0, 50.0, 30.0]], np.float32
+        )
+        got = np.asarray(
+            crop_resize_pad(
+                jnp.asarray(img),
+                jnp.asarray(boxes),
+                jnp.asarray([True, False]),
+                out_h=32, out_w=128,
+            )
+        )
+        assert (got[1] == 255).all()
+        assert not (got[0] == 255).all()
+
+    def test_out_of_bounds_clamped(self, img):
+        h, w = img.shape[:2]
+        boxes = np.array([[-20.0, -10.0, w + 30.0, h + 5.0]], np.float32)
+        got = np.asarray(
+            crop_resize_pad(
+                jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
+                out_h=64, out_w=256,
+            )
+        )[0]
+        ref = _host_crop(img, (-20, -10, w + 30, h + 5), 64, 256)
+        _assert_close(img, (-20, -10, w + 30, h + 5), got, ref, mean_tol=4.0)
+
+    def test_downscale_close_to_host(self, img):
+        # big crop shrunk: host uses INTER_AREA, device bilinear — looser
+        boxes = np.array([[0.0, 0.0, 240.0, 100.0]], np.float32)
+        got = np.asarray(
+            crop_resize_pad(
+                jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
+                out_h=64, out_w=256,
+            )
+        )[0]
+        ref = _host_crop(img, (0, 0, 240, 100), 64, 256)
+        _assert_close(img, (0, 0, 240, 100), got, ref, mean_tol=12.0)

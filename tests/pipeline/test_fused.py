@@ -1,0 +1,133 @@
+"""Fused detect→recognize pipeline (fused.FusedOCR + Pipeline integration).
+
+Random weights, tiny target sizes — contract + consistency with the classic
+host-handoff path (same decode/top-k feeds both; LANMS device-vs-host
+parity is pinned separately in tests/ops/test_lanms_jax.py).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from manuscript_tpu import Pipeline
+from manuscript_tpu.detectors import EAST
+from manuscript_tpu.recognizers import TRBA
+from manuscript_tpu.types import Page
+
+
+@pytest.fixture(scope="module")
+def east():
+    return EAST(target_size=128, max_candidates=512, max_boxes=64)
+
+
+@pytest.fixture(scope="module")
+def trba(tmp_path_factory):
+    cfg = tmp_path_factory.mktemp("cfg") / "config.json"
+    cfg.write_text(
+        json.dumps({"max_len": 6, "hidden_size": 32, "img_h": 32, "img_w": 64})
+    )
+    return TRBA(config_path=str(cfg))
+
+
+@pytest.fixture(scope="module")
+def page_image():
+    rng = np.random.default_rng(0)
+    img = np.full((128, 128, 3), 240, dtype=np.uint8)
+    img[20:40, 10:60] = int(rng.integers(20, 80))
+    img[60:80, 30:100] = int(rng.integers(20, 80))
+    return img
+
+
+def _calibrated(east, img, lo=1, hi=40):
+    """Find a threshold where the random-weight detector emits some boxes."""
+    last = (0.5, 0)
+    for t in (0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1):
+        east.score_thresh = t
+        n = sum(len(b.words) for b in east.predict(img)["page"].blocks)
+        last = (t, n)
+        if lo <= n <= hi:
+            return t, n
+    if last[1] == 0:
+        pytest.skip("random-weight detector emitted no boxes at any threshold")
+    return last
+
+
+class TestFusedPipeline:
+    def test_auto_fuses_native_components(self, east, trba):
+        pipe = Pipeline(detector=east, recognizer=trba, mode="greedy")
+        assert pipe._fused is not None
+
+    def test_duck_typed_fallback(self):
+        class FakeDet:
+            def predict(self, image, vis=False, profile=False):
+                return Page(blocks=[])
+
+        class FakeRec:
+            def predict(self, images):
+                return []
+
+        pipe = Pipeline(detector=FakeDet(), recognizer=FakeRec())
+        assert pipe._fused is None
+        assert isinstance(pipe.predict(np.zeros((32, 32, 3), np.uint8)), Page)
+
+    def test_fused_true_raises_on_fakes(self):
+        class FakeDet:
+            pass
+
+        with pytest.raises(ValueError):
+            Pipeline(detector=FakeDet(), recognizer=FakeDet(), fused=True)
+
+    def test_predict_contract_and_consistency(self, east, trba, page_image):
+        thresh, n_classic = _calibrated(east, page_image)
+        pipe = Pipeline(detector=east, recognizer=trba, mode="greedy")
+        page = pipe.predict(page_image)
+        assert isinstance(page, Page)
+        n_fused = sum(len(b.words) for b in page.blocks)
+        # same decode+top-k feeds both paths; NMS differs only in f32 vs
+        # f64 and prev-vs-running merge — counts stay in the same regime.
+        # The device path caps output at max_boxes (host path has no cap).
+        assert n_fused >= max(1, min(n_classic, east.max_boxes) // 2 - 2)
+        assert n_fused <= 2 * n_classic + 2
+        texted = [
+            w for b in page.blocks for w in b.words if w.text is not None
+        ]
+        assert texted, "fused path recognized no words"
+        for w in texted:
+            assert isinstance(w.text, str)
+            assert 0.0 <= w.recognition_confidence <= 1.0
+
+    def test_vis_and_profile(self, east, trba, page_image, capsys):
+        from PIL import Image
+
+        pipe = Pipeline(detector=east, recognizer=trba, mode="greedy")
+        out = pipe.predict(page_image, vis=True, profile=True)
+        assert isinstance(out, tuple) and len(out) == 2
+        assert isinstance(out[1], Image.Image)
+        assert "Fused pipeline" in capsys.readouterr().out
+
+    def test_process_batch_fused(self, east, trba, page_image):
+        pipe = Pipeline(detector=east, recognizer=trba, mode="greedy")
+        pages = pipe.process_batch([page_image, page_image, page_image])
+        assert len(pages) == 3
+        counts = [sum(len(b.words) for b in p.blocks) for p in pages]
+        assert counts[0] == counts[1] == counts[2]
+
+    def test_max_words_cap(self, east, trba, page_image):
+        east.score_thresh, _ = _calibrated(east, page_image)
+        pipe = Pipeline(
+            detector=east, recognizer=trba, mode="greedy", max_words=1
+        )
+        page = pipe.predict(page_image)
+        texted = [
+            w for b in page.blocks for w in b.words if w.text is not None
+        ]
+        assert len(texted) <= 1
+
+    def test_recognize_text_false_uses_classic(self, east, trba, page_image):
+        pipe = Pipeline(detector=east, recognizer=trba, mode="greedy")
+        page = pipe.predict(page_image, recognize_text=False)
+        assert isinstance(page, Page)
+        for b in page.blocks:
+            for w in b.words:
+                assert w.text is None

@@ -152,9 +152,13 @@ def test_process_batch(image):
 
 
 def test_process_batch_with_vis(image):
+    # vis=True yields (page, vis_image) tuples on every path — the
+    # per-page fallback matches the batched detector path's shape
     pipe = Pipeline(detector=DummyDetector(), recognizer=DummyRecognizer())
     results = pipe.process_batch([image], vis=True)
-    assert isinstance(results[0], Page)
+    assert isinstance(results[0], tuple) and len(results[0]) == 2
+    assert isinstance(results[0][0], Page)
+    assert isinstance(results[0][1], Image.Image)
 
 
 def test_reading_order_applied(image):
