@@ -13,9 +13,15 @@ vs_baseline = pages/sec ÷ the reference's only recorded number
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# The bench runs weight-free by design (zero-egress environment; compute
+# cost is weight-independent) — don't attempt downloads, allow random init.
+os.environ.setdefault("MANUSCRIPT_TPU_NO_DOWNLOAD", "1")
+os.environ.setdefault("MANUSCRIPT_TPU_ALLOW_RANDOM_INIT", "1")
 
 REFERENCE_PAGES_PER_SEC = 1.0 / 0.604  # BASELINE.md: EAST mean 0.604 s/image
 

@@ -71,9 +71,18 @@ class EAST:
         max_candidates: int = 8192,
         nms: str = "host",
         max_boxes: int = 1024,
+        allow_random_init: Optional[bool] = None,
     ):
         """Text detector. ``dtype`` is the backbone compute dtype (bfloat16
-        rides the MXU; score/geometry heads always emit float32)."""
+        rides the MXU; score/geometry heads always emit float32).
+
+        When no ``weights_path`` is given the released checkpoint is
+        resolved from ``~/.manuscript_tpu/east`` or downloaded on first use
+        (reference infer.py:96-107 semantics; see utils/weights.py). If no
+        checkpoint can be resolved, construction fails unless
+        ``allow_random_init=True`` (or MANUSCRIPT_TPU_ALLOW_RANDOM_INIT=1)
+        explicitly permits untrained weights.
+        """
         self.device = device  # API-compat; JAX owns placement
         self.target_size = target_size
         self.score_geo_scale = score_geo_scale
@@ -99,7 +108,17 @@ class EAST:
             raise FileNotFoundError(f"Weights not found: {weights_path}")
         if weights_path is None:
             weights_path = self._find_cached_weights()
+        if weights_path is None:
+            from ..utils.weights import fetch_artifact
+
+            fetched = fetch_artifact("east")
+            weights_path = str(fetched) if fetched is not None else None
         self.weights_path = weights_path
+        if allow_random_init is None:
+            from ..utils.weights import allow_random_init_default
+
+            allow_random_init = allow_random_init_default()
+        self.allow_random_init = allow_random_init
         from ..parallel.mesh import canonicalize_layout
 
         self.variables = canonicalize_layout(jax.device_put(self._load_variables()))
@@ -132,6 +151,14 @@ class EAST:
     def _load_variables(self):
         init_vars = self._init_variables()
         if self.weights_path is None:
+            if not self.allow_random_init:
+                raise RuntimeError(
+                    "[EAST] no checkpoint could be resolved (cache miss and "
+                    "download unavailable). Pass weights_path=, or pass "
+                    "allow_random_init=True / set "
+                    "MANUSCRIPT_TPU_ALLOW_RANDOM_INIT=1 to run with "
+                    "untrained weights."
+                )
             print(
                 "[EAST] no checkpoint found — using random initialization. "
                 "Pass weights_path= to load weights."

@@ -94,26 +94,50 @@ class AttentionDecoder(nn.Module):
 
     # ---- teacher-forced training forward ---------------------------------
 
-    def __call__(self, enc, text_in, train: bool = False):
+    def __call__(self, enc, text_in, train: bool = False, ss_prob: float = 0.0):
         """Teacher-forced logits (B, steps, V); text_in: (B, steps) with SOS
-        at position 0. steps = max_len + 1."""
+        at position 0. steps = max_len + 1.
+
+        ``ss_prob`` enables scheduled sampling (reference model.py:287-320):
+        at each step after the first, each sample independently feeds the
+        model's own previous argmax prediction instead of the ground-truth
+        token with probability ``ss_prob``. Static Python float — one
+        compile per configured value.
+        """
         b, _, _ = enc.shape
         steps = text_in.shape[1]
         proj_enc = enc @ self.w_i2h
-        rng = self.make_rng("dropout") if train and self.dropout_p > 0 else None
+        use_ss = train and ss_prob > 0.0
+        rng = (
+            self.make_rng("dropout")
+            if train and (self.dropout_p > 0 or use_ss)
+            else None
+        )
 
         def step(carry, t):
-            h, c = carry
+            h, c, prev_pred = carry
             tok = jax.lax.dynamic_index_in_dim(text_in, t, axis=1, keepdims=False)
             step_rng = (
                 jax.random.fold_in(rng, t) if rng is not None else None
             )
-            h, c, _ = self._cell(h, c, enc, proj_enc, self._onehot(tok), step_rng)
-            return (h, c), h
+            if use_ss:
+                # step 0 consumes SOS — never sampled (no previous pred)
+                sample = jax.random.bernoulli(
+                    jax.random.fold_in(rng, steps + t), ss_prob, (b,)
+                )
+                tok = jnp.where((t > 0) & sample, prev_pred, tok)
+            drop_rng = step_rng if self.dropout_p > 0 else None
+            h, c, _ = self._cell(h, c, enc, proj_enc, self._onehot(tok), drop_rng)
+            if use_ss:
+                prev_pred = jnp.argmax(
+                    self._mask_blank(self._logits(h)), axis=-1
+                ).astype(text_in.dtype)
+            return (h, c, prev_pred), h
 
         init = (
             jnp.zeros((b, self.hidden_size), self.dtype),
             jnp.zeros((b, self.hidden_size), self.dtype),
+            jnp.zeros((b,), text_in.dtype),
         )
         _, hs = jax.lax.scan(step, init, jnp.arange(steps))
         hs = jnp.swapaxes(hs, 0, 1)  # (B, steps, H)

@@ -73,10 +73,11 @@ class TRBAModel(nn.Module):
             f = self.enc_dropout(f, deterministic=not train)
         return f
 
-    def __call__(self, x, text_in, train: bool = False):
-        """Teacher-forced training forward → logits (B, steps, V)."""
+    def __call__(self, x, text_in, train: bool = False, ss_prob: float = 0.0):
+        """Teacher-forced training forward → logits (B, steps, V).
+        ``ss_prob`` > 0 enables scheduled sampling in the decoder."""
         enc = self.encode(x, train=train)
-        return self.decoder(enc, text_in, train=train)
+        return self.decoder(enc, text_in, train=train, ss_prob=ss_prob)
 
     def greedy(self, x, max_len: int = 25):
         enc = self.encode(x, train=False)

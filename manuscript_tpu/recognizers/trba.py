@@ -72,14 +72,18 @@ class TRBA:
         device: str = "auto",
         dtype: Any = jnp.float32,
         use_pallas: bool = False,
+        allow_random_init: Optional[bool] = None,
         **kwargs: Any,
     ):
         """Text recognizer.
 
         model_path: native ``.msgpack`` checkpoint or torch ``.pth`` (converted
-        on load). None → look in ``~/.manuscript_tpu/trba``; if nothing is
-        found the model starts randomly initialized (zero-egress environments
-        have no weight download) with a warning.
+        on load). None → look in ``~/.manuscript_tpu/trba``, then fetch the
+        released checkpoint + config on first use (reference
+        trba/__init__.py:207-243 semantics; see utils/weights.py). If no
+        checkpoint can be resolved, construction fails unless
+        ``allow_random_init=True`` (or MANUSCRIPT_TPU_ALLOW_RANDOM_INIT=1)
+        explicitly permits untrained weights.
         """
         weights_path = kwargs.pop("weights_path", None)
         if kwargs:
@@ -97,6 +101,20 @@ class TRBA:
             raise FileNotFoundError(f"Model checkpoint not found: {model_path}")
         if model_path is None:
             model_path = self._find_cached_weights()
+        if model_path is None:
+            from ..utils.weights import fetch_artifact
+
+            fetched = fetch_artifact("trba")
+            if fetched is not None:
+                model_path = str(fetched)
+                if config_path is None:
+                    cfg = fetch_artifact("trba_config")
+                    config_path = str(cfg) if cfg is not None else None
+        if allow_random_init is None:
+            from ..utils.weights import allow_random_init_default
+
+            allow_random_init = allow_random_init_default()
+        self.allow_random_init = allow_random_init
 
         if config_path is None and model_path is not None:
             config_path = self._infer_config_path(model_path)
@@ -179,6 +197,14 @@ class TRBA:
     def _load_variables(self):
         init_vars = self._init_variables()
         if self.model_path is None:
+            if not self.allow_random_init:
+                raise RuntimeError(
+                    "[TRBA] no checkpoint could be resolved (cache miss and "
+                    "download unavailable). Pass model_path=, or pass "
+                    "allow_random_init=True / set "
+                    "MANUSCRIPT_TPU_ALLOW_RANDOM_INIT=1 to run with "
+                    "untrained weights."
+                )
             print(
                 "[TRBA] no checkpoint found — using random initialization. "
                 "Pass model_path= to load weights."

@@ -90,6 +90,7 @@ class Config:
         beam_size=8,
         beam_alpha=0.9,
         beam_temperature=1.7,
+        ss_prob=0.0,  # scheduled-sampling probability (reference model.py:287-320)
         seed=0,
         early_stop=50,
         n_devices=None,
@@ -193,7 +194,7 @@ def freeze_mask(params, cfg: Config):
     return jax.tree_util.tree_map_with_path(lambda p, _: decide(p), params)
 
 
-def make_train_step(model: TRBAModel, tx, pad_id: int):
+def make_train_step(model: TRBAModel, tx, pad_id: int, ss_prob: float = 0.0):
     @partial(jax.jit, donate_argnums=(0, 2))
     def step(
         params, batch_stats, opt_state, rng, lr_scale, image_u8, text_in, target_y
@@ -205,6 +206,7 @@ def make_train_step(model: TRBAModel, tx, pad_id: int):
                 x,
                 text_in,
                 train=True,
+                ss_prob=ss_prob,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
@@ -246,6 +248,30 @@ def make_greedy_step(model: TRBAModel, max_len: int):
             x,
             max_len=max_len,
             method="greedy",
+        )
+        return preds
+
+    return step
+
+
+def make_beam_step(
+    model: TRBAModel, max_len: int, beam_size: int, alpha: float,
+    temperature: float,
+):
+    """Per-epoch beam-decode eval program (reference train.py:753-910 runs
+    an optional beam decode over each val set alongside greedy)."""
+
+    @jax.jit
+    def step(params, batch_stats, image_u8):
+        x = (image_u8.astype(model.dtype) / 255.0 - 0.5) / 0.5
+        _, preds = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            max_len=max_len,
+            beam_size=beam_size,
+            alpha=alpha,
+            temperature=temperature,
+            method="beam",
         )
         return preds
 
@@ -387,9 +413,15 @@ def train(
     batch_stats = replicate(batch_stats, mesh)
     opt_state = replicate(opt_state, mesh)
 
-    train_step = make_train_step(model, tx, pad_id)
+    train_step = make_train_step(model, tx, pad_id, ss_prob=cfg.ss_prob)
     eval_loss_step = make_eval_loss_step(model, pad_id)
     greedy_step = make_greedy_step(model, cfg.max_len)
+    beam_step = (
+        make_beam_step(model, cfg.max_len, cfg.beam_size, cfg.beam_alpha,
+                       cfg.beam_temperature)
+        if cfg.eval_beam
+        else None
+    )
 
     # ---- resume ----
     start_epoch = 0
@@ -431,7 +463,8 @@ def train(
 
     metrics_csv = cfg.exp_dir / "metrics_epoch.csv"
     csv_fields = ["epoch", "train_loss", "val_loss", "val_acc", "val_cer",
-                  "val_wer", "lr_scale", "time_s"]
+                  "val_wer", "val_beam_acc", "val_beam_cer", "val_beam_wer",
+                  "lr_scale", "time_s"]
     if not metrics_csv.exists():
         with open(metrics_csv, "w", newline="", encoding="utf-8") as f:
             csv.writer(f).writerow(csv_fields)
@@ -487,11 +520,11 @@ def train(
             losses.append(loss)
         train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
 
-        # ---- validation: TF loss + greedy decode per val set ----
-        all_refs, all_hyps, vlosses = [], [], []
+        # ---- validation: TF loss + greedy (± beam) decode per val set ----
+        all_refs, all_hyps, all_beam_hyps, vlosses = [], [], [], []
         per_set = {}
         for vs in val_sets:
-            refs, hyps, vl = [], [], []
+            refs, hyps, beam_hyps, vl = [], [], [], []
             for start in range(0, len(vs), cfg.batch_size):
                 items = [vs[i] for i in range(start, min(start + cfg.batch_size, len(vs)))]
                 batch = collate_attention(items, stoi, cfg.max_len)
@@ -514,15 +547,34 @@ def train(
                     decode_tokens(p, itos, pad_id, eos_id, blank_id)
                     for p in preds
                 )
+                if beam_step is not None:
+                    bpreds = np.asarray(
+                        beam_step(params, batch_stats, sharded["image"])
+                    )[:n]
+                    beam_hyps.extend(
+                        decode_tokens(p, itos, pad_id, eos_id, blank_id)
+                        for p in bpreds
+                    )
                 refs.extend(batch["texts"][:n])
             m = aggregate_text_metrics(refs, hyps)
             m["loss"] = float(np.mean(vl)) if vl else 0.0
+            if beam_step is not None:
+                bm = aggregate_text_metrics(refs, beam_hyps)
+                m["beam_accuracy"] = bm["accuracy"]
+                m["beam_cer"] = bm["cer"]
+                m["beam_wer"] = bm["wer"]
             per_set[getattr(vs, "name", "val")] = m
             all_refs.extend(refs)
             all_hyps.extend(hyps)
+            all_beam_hyps.extend(beam_hyps)
             vlosses.append(m["loss"])
 
         agg = aggregate_text_metrics(all_refs, all_hyps)
+        beam_agg = (
+            aggregate_text_metrics(all_refs, all_beam_hyps)
+            if beam_step is not None
+            else None
+        )
         val_loss = float(np.mean(vlosses)) if vlosses else float("inf")
         val_acc = agg["accuracy"]
         final_val_acc, final_val_loss = val_acc, val_loss
@@ -557,11 +609,19 @@ def train(
         log(
             f"epoch {epoch}: train={train_loss:.4f} val={val_loss:.4f} "
             f"acc={val_acc:.4f} cer={agg['cer']:.4f} wer={agg['wer']:.4f} "
-            f"({dt:.1f}s)"
+            + (
+                f"beam_acc={beam_agg['accuracy']:.4f} "
+                if beam_agg is not None
+                else ""
+            )
+            + f"({dt:.1f}s)"
         )
         with open(metrics_csv, "a", newline="", encoding="utf-8") as f:
             csv.writer(f).writerow(
                 [epoch, train_loss, val_loss, val_acc, agg["cer"], agg["wer"],
+                 beam_agg["accuracy"] if beam_agg is not None else "",
+                 beam_agg["cer"] if beam_agg is not None else "",
+                 beam_agg["wer"] if beam_agg is not None else "",
                  plateau_lr_scale["scale"], round(dt, 2)]
             )
         if writer is not None:
@@ -569,6 +629,9 @@ def train(
             writer.add_scalar("val/loss", val_loss, epoch)
             writer.add_scalar("val/acc", val_acc, epoch)
             writer.add_scalar("val/cer", agg["cer"], epoch)
+            if beam_agg is not None:
+                writer.add_scalar("val/beam_acc", beam_agg["accuracy"], epoch)
+                writer.add_scalar("val/beam_cer", beam_agg["cer"], epoch)
             for name, m in per_set.items():
                 writer.add_scalar(f"val/{name}/acc", m["accuracy"], epoch)
 

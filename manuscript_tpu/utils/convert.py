@@ -30,10 +30,32 @@ SERESNET_PLAN = [(256, 1, 2), (256, 2, 1), (512, 5, 2), (512, 3, 1)]
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a .pth file into a flat {key: np.ndarray} dict (CPU, no grads)."""
+    """Read a .pth file into a flat {key: np.ndarray} dict (CPU, no grads).
+
+    Safe by default: ``torch.load(weights_only=True)`` refuses arbitrary
+    pickled objects. Checkpoints that embed non-tensor payloads (configs,
+    schedulers) need ``MANUSCRIPT_TPU_UNSAFE_LOAD=1`` — an explicit opt-in,
+    since full unpickling executes code from the file.
+    """
+    import os
+    import warnings
+
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as exc:
+        if os.environ.get("MANUSCRIPT_TPU_UNSAFE_LOAD") != "1":
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True ({exc}). "
+                "If you trust this checkpoint, set MANUSCRIPT_TPU_UNSAFE_LOAD=1 "
+                "to allow full unpickling (this can execute code from the file)."
+            ) from exc
+        warnings.warn(
+            f"Loading {path} with weights_only=False (MANUSCRIPT_TPU_UNSAFE_LOAD=1): "
+            "unpickling can execute arbitrary code from the checkpoint."
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("model_state", "state_dict", "model"):
             if key in ckpt and isinstance(ckpt[key], dict):

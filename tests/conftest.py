@@ -22,6 +22,11 @@ if "collective_call_terminate" not in _flags:
     )
 os.environ["XLA_FLAGS"] = _flags.strip()
 
+# Tests run weight-free: no network fetch attempts, and wrappers may fall
+# back to random init (the strict default would make EAST()/TRBA() raise).
+os.environ.setdefault("MANUSCRIPT_TPU_NO_DOWNLOAD", "1")
+os.environ.setdefault("MANUSCRIPT_TPU_ALLOW_RANDOM_INIT", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

