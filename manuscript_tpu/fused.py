@@ -183,9 +183,42 @@ class FusedOCR:
                     method="beam",
                 )
             preds, confs = sequence_confidence(logits, preds, eos_id)
-            return boxes9, bvalid, src_idx, wvalid, preds, confs
+
+            # ---- pack everything into ONE f32 buffer ----
+            # The link charges ~30 ms fixed latency per transfer; fetching
+            # six arrays costs six round trips. Validity is encoded in-band
+            # (invalid box rows get score −1, invalid words src_idx −1) and
+            # the int arrays are bitcast to f32, so the host does exactly
+            # one d2h per page and unpacks locally.
+            boxes9 = boxes9.at[:, 8].set(
+                jnp.where(bvalid, boxes9[:, 8], -1.0)
+            )
+            src_idx = jnp.where(wvalid, src_idx, -1)
+            flat = jnp.concatenate([
+                boxes9.reshape(-1).astype(jnp.float32),
+                confs.astype(jnp.float32),
+                jax.lax.bitcast_convert_type(preds, jnp.float32).reshape(-1),
+                jax.lax.bitcast_convert_type(src_idx, jnp.float32),
+            ])
+            return flat
 
         return fn
+
+    def _unpack(self, flat: np.ndarray):
+        """Host-side inverse of the program's output packing."""
+        nb = self.detector.max_boxes
+        nw = self.max_words
+        # greedy emits max_len+1 steps, beam max_len (reference model.py
+        # _greedy_decode vs _beam_decode loop bounds)
+        t = self.recognizer.max_length + (1 if self.mode == "greedy" else 0)
+        p = 0
+        boxes9 = flat[p : p + nb * 9].reshape(nb, 9); p += nb * 9
+        confs = flat[p : p + nw]; p += nw
+        preds = flat[p : p + nw * t].view(np.int32).reshape(nw, t); p += nw * t
+        src_idx = flat[p : p + nw].view(np.int32)
+        bvalid = boxes9[:, 8] >= 0.0
+        wvalid = src_idx >= 0
+        return boxes9, bvalid, src_idx, wvalid, preds, confs
 
     @property
     def program(self):
@@ -213,7 +246,9 @@ class FusedOCR:
         return img, outs
 
     def _finish(self, img, outs, vis: bool):
-        boxes9, bvalid, src_idx, wvalid, preds, confs = jax.device_get(outs)
+        boxes9, bvalid, src_idx, wvalid, preds, confs = self._unpack(
+            np.asarray(outs)
+        )
         rec = self.recognizer
 
         words: List[Word] = []
