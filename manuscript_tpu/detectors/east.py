@@ -40,7 +40,7 @@ from ..ops.boxes import (
     scale_boxes,
     to_axis_aligned,
 )
-from ..ops.decode import compact_topk, decode_cells_jax, topk_candidates
+from ..ops.decode import compact_candidates, compact_topk, decode_cells_jax
 from ..ops.image import detector_preprocess_host, read_image
 from ..ops.lanms import locality_aware_nms
 from ..ops.reading_order import reading_order_permutation
@@ -197,7 +197,7 @@ class EAST:
             quads, scores, valid = decode_cells_jax(
                 score, geo, score_thresh, quantization=q, scale=scale
             )
-            cands = topk_candidates(quads, scores, valid, max_cands)
+            cands = compact_candidates(quads, scores, valid, max_cands)
             if with_maps:
                 return cands, score, geo
             return cands
@@ -239,7 +239,7 @@ class EAST:
             quads, scores, valid = decode_cells_jax(
                 score, geo, score_thresh, quantization=q, scale=scale
             )
-            cands = topk_candidates(quads, scores, valid, max_cands)
+            cands = compact_candidates(quads, scores, valid, max_cands)
             boxes, count = locality_aware_nms_jax(
                 cands, iou_threshold, max_out=max_boxes
             )
@@ -355,7 +355,7 @@ class EAST:
                 quads, sc, valid = decode_cells_jax(
                     s, g, score_thresh, quantization=q, scale=scale
                 )
-                return topk_candidates(quads, sc, valid, max_cands)
+                return compact_candidates(quads, sc, valid, max_cands)
 
             return jax.vmap(decode_one)(scores, geos)
 

@@ -9,15 +9,17 @@ latency) that dominates end-to-end latency.
 Here the handoff stays in HBM (SURVEY.md §3.1/§7 north star): one jitted
 program runs
 
-  normalize → EAST forward → cell decode → top-k → parallel LANMS →
-  expansion/rescale/containment/anomaly/axis-align → device crop-gather
-  (axis-aligned clamp + white-pad resize, reference _pipeline.py:204-221
-  semantics) → TRBA encode → greedy/beam decode → confidences
+  normalize → EAST forward → cell decode → candidate compaction →
+  parallel LANMS → expansion/rescale/containment/anomaly/axis-align →
+  device crop-gather (axis-aligned clamp + white-pad resize, reference
+  _pipeline.py:204-221 semantics; MXU matmul formulation) → TRBA encode →
+  greedy/beam decode → confidences
 
 so each page costs ONE h2d (the resized uint8 page) and ONE d2h (boxes +
-token ids + confidences, ~100 KB). ``predict_many`` double-buffers: page
-i+1's program is dispatched before page i's results are fetched, hiding the
-link latency behind device compute.
+token ids + confidences, ~100 KB). ``predict_many`` additionally rides
+``batch_pages`` pages per dispatch through a vmapped variant of the same
+program — one upload / dispatch / fetch per chunk, with the next chunk
+prepared and dispatched while the current one computes.
 
 Documented semantics deltas vs the classic path (all tested):
 * crops are sampled from the detector-resolution image (device-resident)
@@ -39,8 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from .ops.crop_gather import crop_resize_pad
-from .ops.decode import decode_cells_jax, topk_candidates
+from .ops.crop_gather import crop_resize_pad_mm
+from .ops.decode import compact_candidates, decode_cells_jax
 from .ops.image import detector_preprocess_host, read_image
 from .ops.lanms_jax import locality_aware_nms_parallel
 from .ops.postprocess_jax import postprocess_boxes_jax
@@ -71,6 +73,7 @@ class FusedOCR:
         alpha: float = 0.9,
         temperature: float = 1.7,
         min_text_size: int = 5,
+        batch_pages: int = 4,
     ):
         if mode not in ("greedy", "beam"):
             raise ValueError(f"Unknown mode: {mode}")
@@ -82,7 +85,9 @@ class FusedOCR:
         self.alpha = alpha
         self.temperature = temperature
         self.min_text_size = min_text_size
+        self.batch_pages = batch_pages
         self._fn = None
+        self._fn_batched = None
 
     # ------------------------------------------------------------------
 
@@ -105,7 +110,6 @@ class FusedOCR:
         max_len, eos_id = rec.max_length, rec.eos_id
         img_h, img_w = rec.img_h, rec.img_w
 
-        @jax.jit
         def fn(east_vars, trba_vars, u8_img, score_thresh, iou_thresh,
                scale_x, scale_y):
             # ---- detect ----
@@ -116,7 +120,7 @@ class FusedOCR:
             quads, scores, valid = decode_cells_jax(
                 score, geo, score_thresh, quantization=q, scale=geo_scale
             )
-            cands = topk_candidates(quads, scores, valid, max_cands)
+            cands = compact_candidates(quads, scores, valid, max_cands)
             merged, count = locality_aware_nms_parallel(
                 cands, iou_thresh, max_out=max_boxes
             )
@@ -160,9 +164,9 @@ class FusedOCR:
             cb_y2 = scatter(y_max / scale_y)
             wvalid = jnp.arange(max_words) < n_sel
 
-            # ---- crop-gather (stays in HBM) ----
+            # ---- crop-gather (stays in HBM; MXU matmul formulation) ----
             det_boxes = jnp.stack([cb_x1, cb_y1, cb_x2, cb_y2], axis=1)
-            crops = crop_resize_pad(
+            crops = crop_resize_pad_mm(
                 u8_img, det_boxes, wvalid, out_h=img_h, out_w=img_w
             )
 
@@ -223,8 +227,23 @@ class FusedOCR:
     @property
     def program(self):
         if self._fn is None:
-            self._fn = self._build_program()
+            self._fn = jax.jit(self._build_program())
         return self._fn
+
+    @property
+    def program_batched(self):
+        """The page program vmapped over a leading page axis of size
+        ``batch_pages``: one dispatch + ONE d2h round trip per B pages, and
+        the latency-bound small-tensor stages (decode, NMS, postprocess)
+        amortize across the batch. Weights are broadcast (in_axes=None)."""
+        if self._fn_batched is None:
+            self._fn_batched = jax.jit(
+                jax.vmap(
+                    self._build_program(),
+                    in_axes=(None, None, 0, None, None, 0, 0),
+                )
+            )
+        return self._fn_batched
 
     # ------------------------------------------------------------------
 
@@ -302,26 +321,74 @@ class FusedOCR:
             print(f"Fused pipeline total: {time.time() - t0:.3f}s")
         return result
 
+    def _dispatch_chunk(self, chunk) -> tuple:
+        """Read + resize + upload up to ``batch_pages`` pages as ONE stacked
+        tensor and dispatch the vmapped program: one h2d, one dispatch, one
+        d2h per chunk. Short chunks are padded by repeating the last page
+        (padding rows are dropped at unpack)."""
+        det = self.detector
+        b = self.batch_pages
+        imgs, resized, sx, sy = [], [], [], []
+        for image in chunk:
+            img = read_image(image)
+            imgs.append(img)
+            resized.append(detector_preprocess_host(img, det.target_size))
+            sx.append(img.shape[1] / det.target_size)
+            sy.append(img.shape[0] / det.target_size)
+        for _ in range(b - len(chunk)):
+            resized.append(resized[-1])
+            sx.append(sx[-1])
+            sy.append(sy[-1])
+        outs = self.program_batched(
+            det.variables,
+            self.recognizer.variables,
+            jnp.asarray(np.stack(resized)),
+            jnp.float32(det.score_thresh),
+            jnp.float32(det.iou_threshold),
+            jnp.asarray(sx, jnp.float32),
+            jnp.asarray(sy, jnp.float32),
+        )
+        return imgs, outs
+
+    def _finish_chunk(self, imgs, outs, vis: bool) -> List[Any]:
+        flat = np.asarray(outs)  # (B, page_flat) — single d2h
+        return [
+            self._finish(img, flat[i], vis) for i, img in enumerate(imgs)
+        ]
+
     def predict_many(
         self,
         images: List[Union[str, np.ndarray, Image.Image]],
         vis: bool = False,
         profile: bool = False,
-        queue_depth: int = 3,
+        queue_depth: int = 2,
     ) -> List[Any]:
-        """OCR many pages with a bounded in-flight queue: the host prepares
-        and dispatches page i+1..i+queue_depth while the device runs page i,
-        so link latency and host post-processing hide behind device compute."""
+        """OCR many pages: ``batch_pages`` pages ride one device program
+        (one upload, one dispatch, one result fetch per chunk), and up to
+        ``queue_depth`` chunks stay in flight so the host's read/resize of
+        chunk i+1 and the link transfers hide behind chunk i's compute."""
         t0 = time.time()
         results: List[Any] = []
-        pending: List[tuple] = []
-        for image in images:
-            pending.append(self._dispatch(image))
-            if len(pending) > queue_depth:
-                img, outs = pending.pop(0)
+        if self.batch_pages <= 1:
+            pending: List[tuple] = []
+            for image in images:
+                pending.append(self._dispatch(image))
+                if len(pending) > queue_depth:
+                    img, outs = pending.pop(0)
+                    results.append(self._finish(img, outs, vis))
+            for img, outs in pending:
                 results.append(self._finish(img, outs, vis))
-        for img, outs in pending:
-            results.append(self._finish(img, outs, vis))
+        else:
+            b = self.batch_pages
+            chunks = [images[i : i + b] for i in range(0, len(images), b)]
+            in_flight: List[tuple] = []
+            for chunk in chunks:
+                in_flight.append(self._dispatch_chunk(chunk))
+                if len(in_flight) > queue_depth:
+                    imgs, outs = in_flight.pop(0)
+                    results.extend(self._finish_chunk(imgs, outs, vis))
+            for imgs, outs in in_flight:
+                results.extend(self._finish_chunk(imgs, outs, vis))
         if profile:
             dt = time.time() - t0
             print(

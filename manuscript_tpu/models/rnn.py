@@ -45,6 +45,11 @@ def lstm_scan(
     """Full-sequence unidirectional LSTM → (B, T, H)."""
     b, t, _ = x.shape
     hidden = kernel_hh.shape[0]
+    # Compute in the input's dtype (params are stored f32; casting here is
+    # what makes a bf16 encode actually run bf16 matmuls on the MXU).
+    kernel_ih = kernel_ih.astype(x.dtype)
+    kernel_hh = kernel_hh.astype(x.dtype)
+    bias = bias.astype(x.dtype)
     # One big MXU matmul for every timestep's input projection.
     x_proj = (x.reshape(b * t, -1) @ kernel_ih + bias).reshape(b, t, -1)
     x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) scan-major

@@ -31,6 +31,12 @@ class TRBAModel(nn.Module):
     enc_dropout_p: float = 0.1
     dropblock_p: float = 0.0
     dtype: Any = jnp.float32
+    # The decoder's 26-step recurrence and its softmax/confidence math stay
+    # f32 by default even when the FLOP-heavy CNN/BiLSTM encode runs bf16:
+    # the decoder is ~2% of the model's FLOPs but carries all the argmax/
+    # logprob decisions, so mixed precision costs nothing measurable and
+    # keeps greedy/beam token parity with the f32 reference.
+    decoder_dtype: Optional[Any] = None
     use_pallas: bool = False  # fused Pallas greedy decode step (TPU)
     use_tps: bool = False  # TPS rectification (extension; off for parity)
     tps_fiducials: int = 20
@@ -56,7 +62,11 @@ class TRBAModel(nn.Module):
             eos_id=self.eos_id,
             blank_id=self.blank_id,
             dropout_p=0.1,
-            dtype=self.dtype,
+            dtype=(
+                jnp.float32
+                if self.decoder_dtype is None
+                else self.decoder_dtype
+            ),
             use_pallas=self.use_pallas,
         )
 

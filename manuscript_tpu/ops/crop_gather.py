@@ -20,6 +20,95 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _box_geometry(boxes, h, w, out_h, out_w):
+    """Shared resize_and_pad geometry: clamp boxes, compute per-crop source
+    scale and canvas placement (left-aligned horizontally, centered
+    vertically). Returns (x1, y1, sx, sy, new_w, new_h, y_off) as f32."""
+    f32 = jnp.float32
+    x1 = jnp.clip(jnp.floor(boxes[:, 0]), 0, w - 1).astype(f32)
+    y1 = jnp.clip(jnp.floor(boxes[:, 1]), 0, h - 1).astype(f32)
+    x2 = jnp.clip(jnp.floor(boxes[:, 2]), 0, w).astype(f32)
+    y2 = jnp.clip(jnp.floor(boxes[:, 3]), 0, h).astype(f32)
+    cw = jnp.maximum(x2 - x1, 1.0)
+    ch = jnp.maximum(y2 - y1, 1.0)
+
+    scale = jnp.minimum(out_h / ch, out_w / cw)
+    new_w = jnp.maximum(jnp.round(cw * scale), 1.0)
+    new_h = jnp.maximum(jnp.round(ch * scale), 1.0)
+    sx = cw / new_w  # exact per-axis src/dst ratio, like cv2.resize
+    sy = ch / new_h
+    y_off = jnp.floor((out_h - new_h) / 2.0)
+    return x1, y1, sx, sy, new_w, new_h, y_off
+
+
+def crop_resize_pad_mm(
+    img_u8: jnp.ndarray,  # (H, W, 3) uint8, device-resident
+    boxes: jnp.ndarray,  # (N, 4) float [x1, y1, x2, y2] in img coords
+    valid: jnp.ndarray,  # (N,) bool
+    out_h: int = 64,
+    out_w: int = 256,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """MXU formulation of :func:`crop_resize_pad`.
+
+    Bilinear resampling is separable, so each crop's resize is two small
+    matmuls: ``out = Ry @ img @ Rxᵀ`` with per-crop hat-function weight
+    matrices (≤ 2 non-zeros per row; edge-clamped source coordinates give
+    cv2's border-replicate semantics). Dense weights waste FLOPs but land on
+    the MXU: the row pass is ONE (N·out_h, H) × (H, W·3) matmul shared
+    across crops, the column pass a batched (out_w, W) × (W, out_h·3)
+    contraction — ~190 GFLOPs for 256 crops of a 1280² page, ~2 ms on a
+    v5e, versus ~100 ms for the 16.8M-element scalar-gather formulation
+    (TPUs have no fast hardware gather; XLA serializes them).
+
+    ``dtype`` is the matmul input dtype: f32 matches the gather kernel to
+    ~1 ulp; bf16 halves the time at ≤ ±1 uint8 level difference (pixel
+    values ≤ 255 are exact in bf16, hat weights round at 2⁻⁹; accumulation
+    is f32 on the MXU either way).
+    """
+    h, w = img_u8.shape[:2]
+    f32 = jnp.float32
+    n = boxes.shape[0]
+    x1, y1, sx, sy, new_w, new_h, y_off = _box_geometry(
+        boxes, h, w, out_h, out_w
+    )
+
+    jj = jnp.arange(out_w, dtype=f32)  # (out_w,)
+    ii = jnp.arange(out_h, dtype=f32)  # (out_h,)
+    src_x = x1[:, None] + (jj[None, :] + 0.5) * sx[:, None] - 0.5  # (N, out_w)
+    src_y = y1[:, None] + (
+        ii[None, :] - y_off[:, None] + 0.5
+    ) * sy[:, None] - 0.5  # (N, out_h)
+    src_x = jnp.clip(src_x, 0.0, w - 1.0)
+    src_y = jnp.clip(src_y, 0.0, h - 1.0)
+
+    # hat-function bilinear weights against integer source coordinates
+    rows = jnp.arange(h, dtype=f32)
+    cols = jnp.arange(w, dtype=f32)
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(src_y[:, :, None] - rows))  # (N,oh,H)
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(src_x[:, :, None] - cols))  # (N,ow,W)
+
+    img_f = img_u8.astype(dtype)
+    ry = ry.astype(dtype)
+    rx = rx.astype(dtype)
+
+    # row pass: one big shared matmul (N·out_h, H) @ (H, W·3)
+    tmp = jnp.einsum(
+        "nih,hwc->niwc", ry, img_f, preferred_element_type=f32
+    )  # (N, out_h, W, 3)
+    # column pass: batched per-crop contraction over W
+    out = jnp.einsum(
+        "njw,niwc->nijc", rx.astype(f32), tmp, preferred_element_type=f32
+    )  # (N, out_h, out_w, 3)
+
+    inside = (jj[None, None, :] < new_w[:, None, None]) & (
+        ii[None, :, None] >= y_off[:, None, None]
+    ) & (ii[None, :, None] < (y_off + new_h)[:, None, None])
+    inside &= valid[:, None, None]
+    out = jnp.where(inside[..., None], out, 255.0)
+    return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+
+
 def crop_resize_pad(
     img_u8: jnp.ndarray,  # (H, W, 3) uint8, device-resident
     boxes: jnp.ndarray,  # (N, 4) float [x1, y1, x2, y2] in img coords
@@ -34,21 +123,9 @@ def crop_resize_pad(
     (N, out_h, out_w, 3)."""
     h, w = img_u8.shape[:2]
     f32 = jnp.float32
-
-    x1 = jnp.clip(jnp.floor(boxes[:, 0]), 0, w - 1).astype(f32)
-    y1 = jnp.clip(jnp.floor(boxes[:, 1]), 0, h - 1).astype(f32)
-    x2 = jnp.clip(jnp.floor(boxes[:, 2]), 0, w).astype(f32)
-    y2 = jnp.clip(jnp.floor(boxes[:, 3]), 0, h).astype(f32)
-    cw = jnp.maximum(x2 - x1, 1.0)
-    ch = jnp.maximum(y2 - y1, 1.0)
-
-    # resize_and_pad geometry: scale to fit, round target, left/center pad
-    scale = jnp.minimum(out_h / ch, out_w / cw)
-    new_w = jnp.maximum(jnp.round(cw * scale), 1.0)
-    new_h = jnp.maximum(jnp.round(ch * scale), 1.0)
-    sx = cw / new_w  # exact per-axis src/dst ratio, like cv2.resize
-    sy = ch / new_h
-    y_off = jnp.floor((out_h - new_h) / 2.0)
+    x1, y1, sx, sy, new_w, new_h, y_off = _box_geometry(
+        boxes, h, w, out_h, out_w
+    )
 
     jj = jnp.arange(out_w, dtype=f32)[None, None, :]  # (1, 1, out_w)
     ii = jnp.arange(out_h, dtype=f32)[None, :, None]  # (1, out_h, 1)

@@ -119,6 +119,38 @@ def topk_candidates(
     return jnp.concatenate([top_quads, top_scores[:, None]], axis=-1)
 
 
+def compact_candidates(
+    quads: jnp.ndarray,  # (Hc, Wc, 8)
+    scores: jnp.ndarray,  # (Hc, Wc)
+    valid: jnp.ndarray,  # (Hc, Wc) bool
+    max_candidates: int,
+) -> jnp.ndarray:
+    """Device-side compaction without the top-k sort: scatter valid cells
+    into the first free slots in raster order (cumsum positioning).
+
+    This matches the reference decode more closely than ``topk_candidates``:
+    the reference keeps EVERY above-threshold cell (utils.py:340-364), so
+    under capacity the two are identical sets and an O(n) cumsum+scatter
+    replaces a ~25 ms full sort. Over capacity the tail of the raster
+    (bottom of the page) is dropped rather than the lowest scores — a
+    capacity overflow is a mis-calibrated threshold either way.
+
+    Returns (K, 9) rows; unused slots carry score −1.
+    """
+    flat_valid = valid.reshape(-1)
+    n_cells = flat_valid.shape[0]
+    k = min(max_candidates, n_cells)
+    slot = jnp.cumsum(flat_valid) - 1
+    within = flat_valid & (slot < k)
+    target = jnp.where(within, slot, k)
+    rows = jnp.concatenate(
+        [quads.reshape(-1, 8), scores.reshape(-1, 1)], axis=-1
+    )
+    out = jnp.full((k + 1, 9), -1.0, rows.dtype).at[target].set(rows)[:k]
+    live = jnp.arange(k) < jnp.sum(within)
+    return out.at[:, 8].set(jnp.where(live, out[:, 8], -1.0))
+
+
 def compact_topk(cands: np.ndarray) -> np.ndarray:
     """Host: strip the −1-score padding rows from topk_candidates output."""
     cands = np.asarray(cands)

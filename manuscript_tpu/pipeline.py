@@ -41,6 +41,7 @@ class Pipeline:
         alpha: float = 0.9,
         temperature: float = 1.7,
         max_words: int = 256,
+        batch_pages: int = 4,
     ):
         """OCR pipeline over a pluggable detector + recognizer.
 
@@ -54,7 +55,9 @@ class Pipeline:
         to the classic host loop. True forces it (raises if not fusable),
         False disables. ``mode``/``beam_size``/``alpha``/``temperature``
         set the fused decode (defaults match TRBA.predict); ``max_words``
-        caps recognized words per page on the fused path.
+        caps recognized words per page on the fused path; ``batch_pages``
+        is how many pages ``process_batch`` rides through one vmapped
+        device program (one upload/dispatch/fetch per chunk).
         """
         if detector is None:
             from .detectors import EAST
@@ -82,6 +85,7 @@ class Pipeline:
                     alpha=alpha,
                     temperature=temperature,
                     min_text_size=min_text_size,
+                    batch_pages=batch_pages,
                 )
             elif fused is True:
                 raise ValueError(

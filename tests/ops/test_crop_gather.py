@@ -5,8 +5,17 @@ import pytest
 
 import jax.numpy as jnp
 
-from manuscript_tpu.ops.crop_gather import crop_resize_pad
+from manuscript_tpu.ops.crop_gather import crop_resize_pad, crop_resize_pad_mm
 from manuscript_tpu.ops.image import crop_axis_aligned, resize_and_pad
+
+
+@pytest.fixture(params=["gather", "matmul"])
+def crop_fn(request):
+    """Both device formulations share semantics; the matmul one is the
+    fused-pipeline hot path (MXU), the gather one the readable spec."""
+    return {"gather": crop_resize_pad, "matmul": crop_resize_pad_mm}[
+        request.param
+    ]
 
 
 def _host_crop(img, box, out_h, out_w):
@@ -52,10 +61,10 @@ def img(rng):
 
 
 class TestCropResizePad:
-    def test_upscale_crop_matches_host(self, img):
+    def test_upscale_crop_matches_host(self, img, crop_fn):
         boxes = np.array([[10.0, 20.0, 90.0, 44.0]], np.float32)  # 80×24 → ↑
         got = np.asarray(
-            crop_resize_pad(
+            crop_fn(
                 jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
                 out_h=64, out_w=256,
             )
@@ -66,10 +75,10 @@ class TestCropResizePad:
         # the worst sharp-edge rounding deltas
         _assert_close(img, (10, 20, 90, 44), got, ref, mean_tol=1.5, q99_tol=8)
 
-    def test_geometry_left_aligned_v_centered(self, img):
+    def test_geometry_left_aligned_v_centered(self, img, crop_fn):
         boxes = np.array([[0.0, 0.0, 100.0, 20.0]], np.float32)  # 5:1 w:h
         got = np.asarray(
-            crop_resize_pad(
+            crop_fn(
                 jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
                 out_h=64, out_w=256,
             )
@@ -78,12 +87,12 @@ class TestCropResizePad:
         # scaled content: scale = min(64/20, 256/100) = 2.56 → 256×51
         _assert_close(img, (0, 0, 100, 20), got, ref, mean_tol=2.0)
 
-    def test_invalid_rows_white(self, img):
+    def test_invalid_rows_white(self, img, crop_fn):
         boxes = np.array(
             [[10.0, 10.0, 50.0, 30.0], [10.0, 10.0, 50.0, 30.0]], np.float32
         )
         got = np.asarray(
-            crop_resize_pad(
+            crop_fn(
                 jnp.asarray(img),
                 jnp.asarray(boxes),
                 jnp.asarray([True, False]),
@@ -93,11 +102,11 @@ class TestCropResizePad:
         assert (got[1] == 255).all()
         assert not (got[0] == 255).all()
 
-    def test_out_of_bounds_clamped(self, img):
+    def test_out_of_bounds_clamped(self, img, crop_fn):
         h, w = img.shape[:2]
         boxes = np.array([[-20.0, -10.0, w + 30.0, h + 5.0]], np.float32)
         got = np.asarray(
-            crop_resize_pad(
+            crop_fn(
                 jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
                 out_h=64, out_w=256,
             )
@@ -105,14 +114,37 @@ class TestCropResizePad:
         ref = _host_crop(img, (-20, -10, w + 30, h + 5), 64, 256)
         _assert_close(img, (-20, -10, w + 30, h + 5), got, ref, mean_tol=4.0)
 
-    def test_downscale_close_to_host(self, img):
+    def test_downscale_close_to_host(self, img, crop_fn):
         # big crop shrunk: host uses INTER_AREA, device bilinear — looser
         boxes = np.array([[0.0, 0.0, 240.0, 100.0]], np.float32)
         got = np.asarray(
-            crop_resize_pad(
+            crop_fn(
                 jnp.asarray(img), jnp.asarray(boxes), jnp.ones((1,), bool),
                 out_h=64, out_w=256,
             )
         )[0]
         ref = _host_crop(img, (0, 0, 240, 100), 64, 256)
         _assert_close(img, (0, 0, 240, 100), got, ref, mean_tol=12.0)
+
+
+class TestMatmulGatherEquivalence:
+    def test_formulations_agree(self, rng):
+        """The MXU matmul formulation is the same separable bilinear sample
+        as the gather formulation — agree to ±2 uint8 (f32 rounding at the
+        0.5-ulp round boundary)."""
+        img = jnp.asarray(rng.integers(0, 255, (200, 240, 3)).astype(np.uint8))
+        boxes = np.zeros((16, 4), np.float32)
+        boxes[:, 0] = rng.uniform(-10, 200, 16)
+        boxes[:, 1] = rng.uniform(-10, 160, 16)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(4, 120, 16)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(4, 60, 16)
+        valid = jnp.asarray(rng.random(16) > 0.2)
+        a = np.asarray(
+            crop_resize_pad(img, jnp.asarray(boxes), valid, 64, 256)
+        ).astype(int)
+        b = np.asarray(
+            crop_resize_pad_mm(img, jnp.asarray(boxes), valid, 64, 256)
+        ).astype(int)
+        diff = np.abs(a - b)
+        assert diff.max() <= 2
+        assert (diff > 0).mean() < 0.02

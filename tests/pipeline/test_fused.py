@@ -131,3 +131,29 @@ class TestFusedPipeline:
         for b in page.blocks:
             for w in b.words:
                 assert w.text is None
+
+    def test_predict_many_batched_matches_single(self, east, trba, page_image):
+        """The vmapped multi-page program gives the same pages as the
+        per-page program (chunk padding rows are dropped)."""
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        img2 = page_image.copy()
+        img2[90:110, 40:80] = 50
+        fused = FusedOCR(
+            east, trba, max_words=16, mode="greedy", batch_pages=2
+        )
+        singles = [fused.predict(page_image), fused.predict(img2)]
+        # 3 pages = one full chunk + one padded chunk
+        many = fused.predict_many([page_image, img2, page_image])
+        assert len(many) == 3
+        for got, want in zip(many, singles + [singles[0]]):
+            gw = [w for b in got.blocks for w in b.words]
+            ww = [w for b in want.blocks for w in b.words]
+            assert len(gw) == len(ww)
+            assert [w.text for w in gw] == [w.text for w in ww]
+            for a, b in zip(gw, ww):
+                np.testing.assert_allclose(
+                    np.asarray(a.polygon), np.asarray(b.polygon),
+                    rtol=1e-4, atol=0.1,
+                )
