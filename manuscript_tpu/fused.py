@@ -74,9 +74,12 @@ class FusedOCR:
         temperature: float = 1.7,
         min_text_size: int = 5,
         batch_pages: int = 4,
+        transport: str = "delta",
     ):
         if mode not in ("greedy", "beam"):
             raise ValueError(f"Unknown mode: {mode}")
+        if transport not in ("raw", "delta"):
+            raise ValueError(f"Unknown transport: {transport}")
         self.detector = detector
         self.recognizer = recognizer
         self.max_words = max_words
@@ -86,6 +89,7 @@ class FusedOCR:
         self.temperature = temperature
         self.min_text_size = min_text_size
         self.batch_pages = batch_pages
+        self.transport = transport
         self._fn = None
         self._fn_batched = None
 
@@ -110,8 +114,18 @@ class FusedOCR:
         max_len, eos_id = rec.max_length, rec.eos_id
         img_h, img_w = rec.img_h, rec.img_w
 
+        transport = self.transport
+
         def fn(east_vars, trba_vars, u8_img, score_thresh, iou_thresh,
                scale_x, scale_y):
+            if transport == "delta":
+                # invert the host's lossless row-delta (mod-256): the tunnel
+                # link compresses its payloads, and delta-coded document
+                # pages (near-zero except at glyph edges) move 3-4x faster
+                # than raw pixels. Exact uint8 round trip; ~4 ms on device.
+                u8_img = (
+                    jnp.cumsum(u8_img.astype(jnp.int32), axis=0) % 256
+                ).astype(jnp.uint8)
             # ---- detect ----
             x = (u8_img.astype(east_model.dtype) / 255.0 - 0.5) / 0.5
             out = east_model.apply(east_vars, x[None])
@@ -191,9 +205,11 @@ class FusedOCR:
             # ---- pack everything into ONE f32 buffer ----
             # The link charges ~30 ms fixed latency per transfer; fetching
             # six arrays costs six round trips. Validity is encoded in-band
-            # (invalid box rows get score −1, invalid words src_idx −1) and
-            # the int arrays are bitcast to f32, so the host does exactly
-            # one d2h per page and unpacks locally.
+            # (invalid box rows get score −1, invalid words src_idx −1).
+            # Ints ride as exact f32 VALUES (tokens < vocab ≪ 2²⁴,
+            # src_idx ≤ max_boxes) — NOT bitcasts: XLA's f32 pipeline may
+            # flush denormals and canonicalize NaNs, which silently zeroes
+            # bitcast payloads (observed on XLA:CPU).
             boxes9 = boxes9.at[:, 8].set(
                 jnp.where(bvalid, boxes9[:, 8], -1.0)
             )
@@ -201,8 +217,8 @@ class FusedOCR:
             flat = jnp.concatenate([
                 boxes9.reshape(-1).astype(jnp.float32),
                 confs.astype(jnp.float32),
-                jax.lax.bitcast_convert_type(preds, jnp.float32).reshape(-1),
-                jax.lax.bitcast_convert_type(src_idx, jnp.float32),
+                preds.astype(jnp.float32).reshape(-1),
+                src_idx.astype(jnp.float32),
             ])
             return flat
 
@@ -218,8 +234,10 @@ class FusedOCR:
         p = 0
         boxes9 = flat[p : p + nb * 9].reshape(nb, 9); p += nb * 9
         confs = flat[p : p + nw]; p += nw
-        preds = flat[p : p + nw * t].view(np.int32).reshape(nw, t); p += nw * t
-        src_idx = flat[p : p + nw].view(np.int32)
+        preds = (
+            np.rint(flat[p : p + nw * t]).astype(np.int32).reshape(nw, t)
+        ); p += nw * t
+        src_idx = np.rint(flat[p : p + nw]).astype(np.int32)
         bvalid = boxes9[:, 8] >= 0.0
         wvalid = src_idx >= 0
         return boxes9, bvalid, src_idx, wvalid, preds, confs
@@ -247,11 +265,27 @@ class FusedOCR:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _delta_encode(img: np.ndarray) -> np.ndarray:
+        """Lossless mod-256 row delta (uint8 wraparound); ~3 ms/page."""
+        out = img.copy()
+        np.subtract(img[1:], img[:-1], out=out[1:])
+        return out
+
+    def _encode_transport(self, resized: np.ndarray) -> np.ndarray:
+        return (
+            self._delta_encode(resized)
+            if self.transport == "delta"
+            else resized
+        )
+
     def _dispatch(self, image) -> tuple:
         """Read + resize + upload one page; returns (orig_img, device outs)."""
         det = self.detector
         img = read_image(image)
-        resized = detector_preprocess_host(img, det.target_size)
+        resized = self._encode_transport(
+            detector_preprocess_host(img, det.target_size)
+        )
         orig_h, orig_w = img.shape[:2]
         outs = self.program(
             det.variables,
@@ -332,7 +366,11 @@ class FusedOCR:
         for image in chunk:
             img = read_image(image)
             imgs.append(img)
-            resized.append(detector_preprocess_host(img, det.target_size))
+            resized.append(
+                self._encode_transport(
+                    detector_preprocess_host(img, det.target_size)
+                )
+            )
             sx.append(img.shape[1] / det.target_size)
             sy.append(img.shape[0] / det.target_size)
         for _ in range(b - len(chunk)):

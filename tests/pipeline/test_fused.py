@@ -157,3 +157,53 @@ class TestFusedPipeline:
                     np.asarray(a.polygon), np.asarray(b.polygon),
                     rtol=1e-4, atol=0.1,
                 )
+
+    def test_transport_delta_lossless(self, east, trba, page_image):
+        """Row-delta transport is bit-lossless: identical pages out."""
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        raw = FusedOCR(
+            east, trba, max_words=16, mode="greedy", transport="raw"
+        ).predict(page_image)
+        delta = FusedOCR(
+            east, trba, max_words=16, mode="greedy", transport="delta"
+        ).predict(page_image)
+        rw = [(w.polygon, w.text) for b in raw.blocks for w in b.words]
+        dw = [(w.polygon, w.text) for b in delta.blocks for w in b.words]
+        assert rw == dw
+
+
+class TestOutputPacking:
+    def test_int_payloads_survive_f32_packing(self):
+        """Ints must cross the packed f32 buffer as exact VALUES. A bitcast
+        encoding dies here: XLA's f32 pipeline may flush denormals (small
+        ints) to zero and canonicalize NaNs (-1 bit pattern) — observed on
+        XLA:CPU, which silently blanked every recognized token."""
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pack(ints, floats):
+            return jnp.concatenate([floats, ints.astype(jnp.float32)])
+
+        ints = jnp.asarray([0, 1, 2, 3, -1, 193, 1023], jnp.int32)
+        out = np.asarray(pack(ints, jnp.asarray([0.5], jnp.float32)))
+        got = np.rint(out[1:]).astype(np.int32)
+        np.testing.assert_array_equal(got, np.asarray(ints))
+
+    def test_fused_recognizes_nonpad_tokens(self, east, trba, page_image):
+        """End-to-end: the unpacked token ids must round-trip the device
+        program (not collapse to PAD), so text is genuinely decoded."""
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        f = FusedOCR(east, trba, max_words=16, mode="greedy")
+        img, outs = f._dispatch(page_image)
+        _, _, _, wvalid, preds, _ = f._unpack(np.asarray(outs))
+        n = int(wvalid.sum())
+        assert n > 0
+        # greedy emits an argmax token every step; with random weights the
+        # chance all steps of all words hit PAD(0) is ~0 — all-zero rows
+        # mean the transport destroyed the payload
+        assert np.any(preds[:n] != 0)
