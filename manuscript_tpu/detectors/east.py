@@ -41,7 +41,7 @@ from ..ops.boxes import (
     to_axis_aligned,
 )
 from ..ops.decode import compact_candidates, compact_topk, decode_cells_jax
-from ..ops.image import detector_preprocess_host, read_image
+from ..ops.image import delta_decode_device, delta_encode, detector_preprocess_host, read_image
 from ..ops.lanms import locality_aware_nms
 from ..ops.reading_order import reading_order_permutation
 from ..types import Block, Page, Word
@@ -72,6 +72,7 @@ class EAST:
         nms: str = "host",
         max_boxes: int = 1024,
         allow_random_init: Optional[bool] = None,
+        transport: str = "delta",
     ):
         """Text detector. ``dtype`` is the backbone compute dtype (bfloat16
         rides the MXU; score/geometry heads always emit float32).
@@ -101,6 +102,14 @@ class EAST:
             raise ValueError(f"nms must be 'host' or 'device', got {nms!r}")
         self.nms = nms
         self.max_boxes = max_boxes
+        if transport not in ("raw", "delta"):
+            raise ValueError(
+                f"transport must be 'raw' or 'delta', got {transport!r}"
+            )
+        # "delta": pages upload as a lossless mod-256 row delta that the
+        # device program inverts — 3-4x less link time on the compressing
+        # accelerator link (ops/image.py:delta_encode)
+        self.transport = transport
 
         self.model = EASTModel(backbone=backbone, dtype=dtype)
 
@@ -138,6 +147,11 @@ class EAST:
             if hits:
                 return str(hits[0])
         return None
+
+    def _encode_transport(self, resized):
+        return (
+            delta_encode(resized) if self.transport == "delta" else resized
+        )
 
     def _init_variables(self):
         # init on host CPU (fast tracing, no per-op tunnel dispatch), then a
@@ -187,9 +201,12 @@ class EAST:
         q = self.quantization
         scale = 1.0 / self.score_geo_scale
         max_cands = self.max_candidates
+        transport = self.transport
 
         @jax.jit
         def fn(variables, u8_img, score_thresh):
+            if transport == "delta":
+                u8_img = delta_decode_device(u8_img)
             x = (u8_img.astype(model.dtype) / 255.0 - 0.5) / 0.5
             out = model.apply(variables, x[None])
             score = out["score"][0, :, :, 0]  # (H/4, W/4) f32
@@ -229,9 +246,12 @@ class EAST:
         remove_anoms = self.remove_area_anomalies
         anomaly_sigma = self.anomaly_sigma_threshold
         anomaly_min = self.anomaly_min_box_count
+        transport = self.transport
 
         @jax.jit
         def fn(variables, u8_img, score_thresh, iou_threshold, scale_x, scale_y):
+            if transport == "delta":
+                u8_img = delta_decode_device(u8_img)
             x = (u8_img.astype(model.dtype) / 255.0 - 0.5) / 0.5
             out = model.apply(variables, x[None])
             score = out["score"][0, :, :, 0]
@@ -269,7 +289,9 @@ class EAST:
     ) -> Dict[str, Any]:
         """Detect text → {"page", "vis_image", "score_map", "geo_map"}."""
         img = read_image(img_or_path)
-        resized = detector_preprocess_host(img, self.target_size)
+        resized = self._encode_transport(
+            detector_preprocess_host(img, self.target_size)
+        )
         orig_h, orig_w = img.shape[:2]
 
         if self.nms == "device" and not return_maps:
@@ -343,9 +365,12 @@ class EAST:
         q = self.quantization
         scale = 1.0 / self.score_geo_scale
         max_cands = self.max_candidates
+        transport = self.transport
 
         @jax.jit
         def fn(variables, u8_imgs, score_thresh):
+            if transport == "delta":
+                u8_imgs = delta_decode_device(u8_imgs, axis=1)
             x = (u8_imgs.astype(model.dtype) / 255.0 - 0.5) / 0.5
             out = model.apply(variables, x)
             scores = out["score"][..., 0]  # (B, h, w)
@@ -385,7 +410,9 @@ class EAST:
             fn1 = self._get_infer_fn(with_maps=False)
             thresh = jnp.float32(self.score_thresh)
             for start, img in enumerate(loaded):
-                resized = detector_preprocess_host(img, self.target_size)
+                resized = self._encode_transport(
+                    detector_preprocess_host(img, self.target_size)
+                )
                 cands_d = fn1(self.variables, jnp.asarray(resized), thresh)
                 pending.append(([img], 1, cands_d[None], start))
         else:
@@ -393,7 +420,12 @@ class EAST:
             for start in range(0, len(loaded), batch_size):
                 chunk = loaded[start : start + batch_size]
                 resized = np.stack(
-                    [detector_preprocess_host(im, self.target_size) for im in chunk]
+                    [
+                        self._encode_transport(
+                            detector_preprocess_host(im, self.target_size)
+                        )
+                        for im in chunk
+                    ]
                 )
                 n = resized.shape[0]
                 if n < batch_size:

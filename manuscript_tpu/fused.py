@@ -43,7 +43,12 @@ from PIL import Image
 
 from .ops.crop_gather import crop_resize_pad_mm
 from .ops.decode import compact_candidates, decode_cells_jax
-from .ops.image import detector_preprocess_host, read_image
+from .ops.image import (
+    delta_decode_device,
+    delta_encode,
+    detector_preprocess_host,
+    read_image,
+)
 from .ops.lanms_jax import locality_aware_nms_parallel
 from .ops.postprocess_jax import postprocess_boxes_jax
 from .ops.boxes import quad_bbox_int
@@ -119,13 +124,9 @@ class FusedOCR:
         def fn(east_vars, trba_vars, u8_img, score_thresh, iou_thresh,
                scale_x, scale_y):
             if transport == "delta":
-                # invert the host's lossless row-delta (mod-256): the tunnel
-                # link compresses its payloads, and delta-coded document
-                # pages (near-zero except at glyph edges) move 3-4x faster
-                # than raw pixels. Exact uint8 round trip; ~4 ms on device.
-                u8_img = (
-                    jnp.cumsum(u8_img.astype(jnp.int32), axis=0) % 256
-                ).astype(jnp.uint8)
+                # invert the host's lossless row-delta (ops/image.py:
+                # delta_encode) — see its docstring for the why
+                u8_img = delta_decode_device(u8_img)
             # ---- detect ----
             x = (u8_img.astype(east_model.dtype) / 255.0 - 0.5) / 0.5
             out = east_model.apply(east_vars, x[None])
@@ -265,18 +266,9 @@ class FusedOCR:
 
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _delta_encode(img: np.ndarray) -> np.ndarray:
-        """Lossless mod-256 row delta (uint8 wraparound); ~3 ms/page."""
-        out = img.copy()
-        np.subtract(img[1:], img[:-1], out=out[1:])
-        return out
-
     def _encode_transport(self, resized: np.ndarray) -> np.ndarray:
         return (
-            self._delta_encode(resized)
-            if self.transport == "delta"
-            else resized
+            delta_encode(resized) if self.transport == "delta" else resized
         )
 
     def _dispatch(self, image) -> tuple:

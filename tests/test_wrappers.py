@@ -195,3 +195,25 @@ class TestEASTPredictBatch:
         n0 = sum(len(b.words) for b in batch[0]["page"].blocks)
         n2 = sum(len(b.words) for b in batch[2]["page"].blocks)
         assert n0 == n2
+
+
+class TestEASTTransport:
+    def test_delta_transport_matches_raw(self, page_image):
+        """Row-delta page transport is bit-lossless through the detector."""
+        from manuscript_tpu.detectors import EAST
+
+        raw = EAST(target_size=128, transport="raw")
+        delta = EAST(target_size=128, transport="delta")
+        for e in (raw, delta):
+            e.score_thresh = 0.3
+        pr = raw.predict(page_image)["page"]
+        pd = delta.predict(page_image)["page"]
+        br = [w.polygon for b in pr.blocks for w in b.words]
+        bd = [w.polygon for b in pd.blocks for w in b.words]
+        assert br == bd
+
+    def test_bad_transport_raises(self):
+        from manuscript_tpu.detectors import EAST
+
+        with pytest.raises(ValueError):
+            EAST(target_size=64, transport="zip")
