@@ -13,6 +13,10 @@ from manuscript_tpu.models import (
 )
 from manuscript_tpu.models.rnn import BiLSTM, lstm_scan
 
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def key():

@@ -7,12 +7,17 @@ import numpy as np
 import pytest
 
 from manuscript_tpu.models.tps import (
+
     TPSTransformer,
     build_grid_basis,
     canonical_fiducials,
     grid_sample_bilinear,
     tps_system_inverse,
 )
+
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
 
 
 class TestGridSample:

@@ -8,6 +8,10 @@ import jax.numpy as jnp
 from manuscript_tpu.ops.crop_gather import crop_resize_pad, crop_resize_pad_mm
 from manuscript_tpu.ops.image import crop_axis_aligned, resize_and_pad
 
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(params=["gather", "matmul"])
 def crop_fn(request):

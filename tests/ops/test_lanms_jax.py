@@ -14,6 +14,10 @@ from manuscript_tpu.ops.lanms_jax import (
 )
 from manuscript_tpu.ops.geometry import polygon_iou
 
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
+
 
 def _quad(x0, y0, x1, y1):
     return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32)

@@ -8,9 +8,14 @@ import pytest
 
 from manuscript_tpu.models.attention import AttentionDecoder
 from manuscript_tpu.ops.pallas_attention import (
+
     attention_lstm_step_pallas,
     pad_step_params,
 )
+
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

@@ -8,6 +8,10 @@ import jax.numpy as jnp
 from manuscript_tpu.ops.lanms_jax import quad_iou_matrix
 from manuscript_tpu.ops.pallas_iou import pallas_quad_iou_matrix
 
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
+
 
 def _rot_quads(rng, n, span=60.0):
     out = []

@@ -7,6 +7,7 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 from manuscript_tpu.parallel import (
+
     DATA_AXIS,
     canonicalize_layout,
     data_sharding,
@@ -16,6 +17,10 @@ from manuscript_tpu.parallel import (
     replicate,
     shard_batch,
 )
+
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
 
 
 class TestMesh:

@@ -14,6 +14,10 @@ from manuscript_tpu.detectors import EAST
 from manuscript_tpu.recognizers import TRBA, default_charset
 from manuscript_tpu.types import Page
 
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def east():

@@ -8,6 +8,10 @@ import pytest
 
 from manuscript_tpu.train.east_train import pad_to_multiple
 
+# Compile-heavy (XLA traces full models / fused program graphs):
+# excluded from the default fast selection; CI runs the full suite.
+pytestmark = pytest.mark.slow
+
 
 class TestPadToMultiple:
     def test_tail_smaller_than_pad(self):
