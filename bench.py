@@ -135,12 +135,7 @@ def main():
         len(b.words) for b in east.predict(pages[0])["page"].blocks
     )
     raw["page_word_count"] = n_words
-    if smoke:
-        cap = 64
-    else:
-        cap = next(
-            (c for c in (64, 128, 256) if n_words <= c - 8), 256
-        )
+    cap = next((c for c in (64, 128, 256) if n_words <= c - 8), 256)
 
     # ---- config 1 (PRIMARY): fused pipeline, steady-state throughput ----
     fused = FusedOCR(east, trba, max_words=cap, mode="greedy")
@@ -225,6 +220,123 @@ def main():
         "pages/s",
         vs_baseline=(1.0 / med3) / REFERENCE_PAGES_PER_SEC,
     )
+
+    # ---- quality consistency: fused device path vs host parity path ----
+    # Random weights make absolute CER/F1 meaningless, but the two
+    # implementations of the SAME semantics must agree on boxes: the host
+    # path runs the numpy/C++ LANMS that is fixture-parity-tested against
+    # the reference, the fused path runs the on-device kernels. Greedy-
+    # matched F1@0.5 between them is the recorded semantics-preservation
+    # number.
+    try:
+        from manuscript_tpu.train.metrics import compute_f1
+
+        host_page = east.predict(pages[0])["page"]
+        fused_words = [w for b in page0.blocks for w in b.words]
+        host_words = [w for b in host_page.blocks for w in b.words]
+        preds_f1 = [
+            {"image_id": 0, "segmentation": np.asarray(w.polygon).ravel()}
+            for w in fused_words
+        ]
+        gt_segs = {
+            0: [np.asarray(w.polygon).ravel() for w in host_words]
+        }
+        f1 = compute_f1(preds_f1, 0.5, gt_segs, [0])
+        emit(
+            "fused_vs_host_box_f1",
+            f1,
+            "f1@iou0.5",
+            n_fused=len(fused_words),
+            n_host=len(host_words),
+        )
+        raw["fused_vs_host_box_f1"] = f1
+    except Exception as exc:
+        raw["box_f1_error"] = repr(exc)
+
+    # ---- config 5: training-step throughput (small shapes) ----
+    try:
+        import jax
+        import optax
+
+        from manuscript_tpu.models.east import EASTModel
+        from manuscript_tpu.models.trba import TRBAModel
+        from manuscript_tpu.train.east_train import make_train_step
+        from manuscript_tpu.train.optim import build_east_optimizer
+        from manuscript_tpu.train.trba_train import (
+            make_train_step as make_trba_step,
+        )
+
+        def sustained_steps(run_step, n=10):
+            loss = run_step()  # warm/compile
+            float(np.asarray(loss))
+            t0 = time.perf_counter()
+            for _ in range(n):
+                loss = run_step()
+            float(np.asarray(loss))  # force completion of the whole chain
+            return n / (time.perf_counter() - t0)
+
+        side = 64 if smoke else 256
+        bsz = 2 if smoke else 4
+        em = EASTModel(backbone="resnet50", dtype=jnp.float32)
+        ev = em.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, side, side, 3), jnp.float32)
+        )
+        tx, _ = build_east_optimizer(1e-3, steps_per_epoch=10, use_sam=True)
+        est = {
+            "p": ev["params"], "bs": ev["batch_stats"],
+            "o": tx.init(ev["params"]),
+        }
+        est["ema"] = jax.tree_util.tree_map(jnp.copy, est["p"])
+        estep = make_train_step(
+            em, tx, use_sam=True, sam_adaptive=True, use_ohem=True,
+            ohem_ratio=0.5, use_focal_geo=True, focal_gamma=2.0,
+            use_ema=True,
+        )
+        img_b = jnp.zeros((bsz, side, side, 3), jnp.uint8)
+        sc_b = jnp.ones((bsz, side // 4, side // 4), jnp.float32)
+        geo_b = jnp.zeros((bsz, side // 4, side // 4, 8), jnp.float32)
+
+        def east_step():
+            est["p"], est["bs"], est["o"], est["ema"], loss = estep(
+                est["p"], est["bs"], est["o"], est["ema"], img_b, sc_b, geo_b
+            )
+            return loss
+
+        emit(
+            "east_sam_train_steps_per_sec",
+            sustained_steps(east_step),
+            "steps/s",
+            config=f"{side}^2 batch {bsz}, SAM+OHEM+focal+EMA",
+        )
+
+        tm_t = TRBAModel(num_classes=100, hidden_size=128, dtype=jnp.float32)
+        tv = tm_t.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 128, 3), jnp.float32),
+            jnp.zeros((1, 9), jnp.int32),
+        )
+        ttx = optax.adam(1e-3)
+        tst = {"p": tv["params"], "bs": tv["batch_stats"], "o": ttx.init(tv["params"])}
+        tstep = make_trba_step(tm_t, ttx, pad_id=0)
+        timg = jnp.zeros((16, 32, 128, 3), jnp.uint8)
+        ttin = jnp.ones((16, 9), jnp.int32)
+        tty = jnp.ones((16, 9), jnp.int32)
+
+        def trba_step():
+            tst["p"], tst["bs"], tst["o"], loss = tstep(
+                tst["p"], tst["bs"], tst["o"], jax.random.PRNGKey(1),
+                jnp.float32(1.0), timg, ttin, tty,
+            )
+            return loss
+
+        emit(
+            "trba_train_steps_per_sec",
+            sustained_steps(trba_step),
+            "steps/s",
+            config="32x128 batch 16, CE teacher-forced",
+        )
+    except Exception as exc:
+        raw["train_bench_error"] = repr(exc)
 
     # ---- config 4: 100-page batched pipeline ----
     n100 = 10 if smoke else 100
