@@ -253,6 +253,20 @@ def main():
     except Exception as exc:
         raw["box_f1_error"] = repr(exc)
 
+    # ---- config 4: 100-page batched pipeline ----
+    n100 = 10 if smoke else 100
+    batch100 = [pages[i % len(pages)] for i in range(n100)]
+    t0 = time.perf_counter()
+    fused.predict_many(batch100)
+    dt100 = time.perf_counter() - t0
+    raw["fused_100page_s"] = dt100
+    emit(
+        "batched_100page_pages_per_sec",
+        n100 / dt100,
+        "pages/s",
+        vs_baseline=(n100 / dt100) / REFERENCE_PAGES_PER_SEC,
+    )
+
     # ---- config 5: training-step throughput (small shapes) ----
     try:
         import jax
@@ -275,7 +289,7 @@ def main():
             float(np.asarray(loss))  # force completion of the whole chain
             return n / (time.perf_counter() - t0)
 
-        side = 64 if smoke else 256
+        side = 64 if smoke else 128
         bsz = 2 if smoke else 4
         em = EASTModel(backbone="resnet50", dtype=jnp.float32)
         ev = em.init(
@@ -338,19 +352,6 @@ def main():
     except Exception as exc:
         raw["train_bench_error"] = repr(exc)
 
-    # ---- config 4: 100-page batched pipeline ----
-    n100 = 10 if smoke else 100
-    batch100 = [pages[i % len(pages)] for i in range(n100)]
-    t0 = time.perf_counter()
-    fused.predict_many(batch100)
-    dt100 = time.perf_counter() - t0
-    raw["fused_100page_s"] = dt100
-    emit(
-        "batched_100page_pages_per_sec",
-        n100 / dt100,
-        "pages/s",
-        vs_baseline=(n100 / dt100) / REFERENCE_PAGES_PER_SEC,
-    )
 
     Path(__file__).with_name("bench_raw.json").write_text(
         json.dumps(raw, indent=1)
