@@ -37,6 +37,35 @@ import numpy as np
 os.environ.setdefault("MANUSCRIPT_TPU_NO_DOWNLOAD", "1")
 os.environ.setdefault("MANUSCRIPT_TPU_ALLOW_RANDOM_INIT", "1")
 
+
+def _enable_compile_cache():
+    """Persist compiled executables across bench runs.
+
+    The tunnel's compile service is highly variable (an identical bench
+    run ranged 8-10+ min, almost all of it waiting on compiles); with a
+    warm cache the whole bench is minutes shorter and robust to outer
+    timeouts. The cache also stores XLA:CPU init executables whose AOT
+    loader warns about machine-feature canonicalization on this host —
+    observed to load fine, but MANUSCRIPT_TPU_BENCH_NO_CACHE=1 opts out.
+    """
+    if os.environ.get("MANUSCRIPT_TPU_BENCH_NO_CACHE") == "1":
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "MANUSCRIPT_TPU_JAX_CACHE",
+        str(Path(__file__).with_name(".jax_bench_cache")),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 REFERENCE_PAGES_PER_SEC = 1.0 / 0.604  # BASELINE.md: EAST mean 0.604 s/image
 PEAK_FLOPS_BF16 = 197e12  # assumed v5e chip peak (bf16); stated assumption
 
