@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 import time
 
 
@@ -24,7 +25,39 @@ def _page_to_dict(page) -> dict:
 def cmd_ocr(args):
     from . import Pipeline
 
-    pipe = Pipeline()
+    pipe = Pipeline(
+        mode=args.mode,
+        batch_pages=args.batch_pages,
+        max_words=args.max_words,
+    )
+    if len(args.images) > 1 and not args.vis:
+        # many pages ride the chunked fused program — one device dispatch
+        # per batch_pages pages instead of one per page
+        t0 = time.time()
+        pages = pipe.process_batch(list(args.images), profile=args.profile)
+        dt = time.time() - t0
+        for image, page in zip(args.images, pages):
+            result = {
+                "image": image,
+                "seconds": round(dt / len(args.images), 3),
+                "text": pipe.get_text(page),
+                "page": _page_to_dict(page),
+            }
+            if args.out:
+                out = args.out
+                if len(args.images) > 1:
+                    stem, dot, ext = out.rpartition(".")
+                    out = (
+                        f"{stem}.{Path(image).stem}.{ext}"
+                        if dot
+                        else f"{out}.{Path(image).stem}"
+                    )
+                with open(out, "w", encoding="utf-8") as f:
+                    json.dump(result, f, ensure_ascii=False, indent=1)
+                print(f"{image}: → {out}")
+            else:
+                print(result["text"])
+        return
     for image in args.images:
         t0 = time.time()
         if args.vis:
@@ -100,6 +133,15 @@ def main(argv=None):
     p.add_argument("--out", help="write JSON result")
     p.add_argument("--vis", help="write visualization PNG")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--mode", choices=["beam", "greedy"], default="beam")
+    p.add_argument(
+        "--batch-pages", type=int, default=4,
+        help="pages per fused device program in multi-image runs",
+    )
+    p.add_argument(
+        "--max-words", type=int, default=256,
+        help="recognition capacity per page on the fused path",
+    )
     p.set_defaults(func=cmd_ocr)
 
     p = sub.add_parser("detect", help="text detection only")

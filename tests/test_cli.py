@@ -46,7 +46,7 @@ def test_ocr_command(monkeypatch, capsys, image_file, tmp_path):
         def get_text(self, page):
             return "hello"
 
-    monkeypatch.setattr("manuscript_tpu.Pipeline", lambda: FakePipe())
+    monkeypatch.setattr("manuscript_tpu.Pipeline", lambda **kw: FakePipe())
     out_json = tmp_path / "r.json"
     cli.main(["ocr", image_file, "--out", str(out_json)])
     data = json.loads(out_json.read_text())
@@ -88,3 +88,24 @@ def test_recognize_command(monkeypatch, capsys, image_file):
 def test_unknown_command_exits():
     with pytest.raises(SystemExit):
         cli.main(["nonsense"])
+
+
+def test_ocr_command_multi_image_batches(monkeypatch, capsys, image_file):
+    """Multiple images route through process_batch (chunked fused path)."""
+    calls = {}
+
+    class FakePipe:
+        def process_batch(self, images, profile=False):
+            calls["n"] = len(images)
+            return [_fake_page() for _ in images]
+
+        def predict(self, image, vis=False, profile=False):  # pragma: no cover
+            raise AssertionError("multi-image ocr must use process_batch")
+
+        def get_text(self, page):
+            return "hello"
+
+    monkeypatch.setattr("manuscript_tpu.Pipeline", lambda **kw: FakePipe())
+    cli.main(["ocr", image_file, image_file, "--mode", "greedy"])
+    assert calls["n"] == 2
+    assert capsys.readouterr().out.count("hello") == 2
