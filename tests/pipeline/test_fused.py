@@ -178,6 +178,31 @@ class TestFusedPipeline:
         assert rw == dw
 
 
+    def test_beam_mode_unpacks(self, east, trba, page_image):
+        """Beam emits max_len steps (vs greedy's max_len+1) — the packed
+        buffer must unpack at the right offsets, boxes identical to greedy."""
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        g = FusedOCR(east, trba, max_words=8, mode="greedy").predict(
+            page_image
+        )
+        b = FusedOCR(
+            east, trba, max_words=8, mode="beam", beam_size=2
+        ).predict(page_image)
+        gw = [w for blk in g.blocks for w in blk.words]
+        bw = [w for blk in b.blocks for w in blk.words]
+        assert len(gw) == len(bw)
+        for a, c in zip(gw, bw):
+            np.testing.assert_allclose(
+                np.asarray(a.polygon), np.asarray(c.polygon), atol=1e-3
+            )
+        texted = [w for w in bw if w.text is not None]
+        assert texted
+        for w in texted:
+            assert 0.0 <= w.recognition_confidence <= 1.0
+
+
 class TestOutputPacking:
     def test_int_payloads_survive_f32_packing(self):
         """Ints must cross the packed f32 buffer as exact VALUES. A bitcast
