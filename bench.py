@@ -165,6 +165,11 @@ def main():
     )
     raw["page_word_count"] = n_words
     cap = next((c for c in (64, 128, 256) if n_words <= c - 8), 256)
+    # Box capacity sized the same way (the (M,M) NMS bound matrix and the
+    # per-page d2h payload both scale with max_boxes; default 1024 is the
+    # API guard, 4x the workload's calibrated need even with headroom).
+    if n_words <= 192:
+        east.max_boxes = 256
 
     # ---- config 1 (PRIMARY): fused pipeline, steady-state throughput ----
     fused = FusedOCR(east, trba, max_words=cap, mode="greedy")
