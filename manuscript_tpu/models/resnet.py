@@ -17,7 +17,16 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
-STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+# "resnet50-tiny" keeps the channel plan (256/512/1024/2048 stage outputs,
+# so the EAST merge decoder is unchanged) at 1 block per stage — the SPMD
+# semantics of a train step (sharded batch, replicated params, all-reduce,
+# SAM two-pass, OHEM, EMA, donation) are identical to the full net at ~1/4
+# the compile cost, which is what single-core dryruns / CI need.
+STAGE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet50-tiny": (1, 1, 1, 1),
+}
 
 
 class Bottleneck(nn.Module):

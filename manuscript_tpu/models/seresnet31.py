@@ -100,11 +100,22 @@ class SEBasicBlock(nn.Module):
         return nn.relu(out + identity)
 
 
+# (planes, blocks, stride) per stage. "tiny" keeps the channel/stride plan
+# (so downstream shapes and the SPMD semantics of a train step are
+# unchanged) at 1 block per stage — for single-core dryruns/CI where LLVM
+# compile time of the full 11-block net dominates.
+STAGE_PLANS = {
+    "full": ((256, 1, 2), (256, 2, 1), (512, 5, 2), (512, 3, 1)),
+    "tiny": ((256, 1, 2), (256, 1, 1), (512, 1, 2), (512, 1, 1)),
+}
+
+
 class SEResNet31(nn.Module):
     out_channels: int = 512
     reduction: int = 16
     dropblock_p: float = 0.0
     dtype: Any = jnp.float32
+    stage_plan: str = "full"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -122,7 +133,7 @@ class SEResNet31(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         # residual stages: (planes, blocks, stride)
-        plan = [(256, 1, 2), (256, 2, 1), (512, 5, 2), (512, 3, 1)]
+        plan = STAGE_PLANS[self.stage_plan]
         in_planes = 128
         for stage_idx, (planes, blocks, stride) in enumerate(plan, start=1):
             for b in range(blocks):

@@ -40,6 +40,9 @@ class TRBAModel(nn.Module):
     use_pallas: bool = False  # fused Pallas greedy decode step (TPU)
     use_tps: bool = False  # TPS rectification (extension; off for parity)
     tps_fiducials: int = 20
+    # "full" (reference 11-block SEResNet31) or "tiny" (1 block/stage, same
+    # channels/strides) — the latter for compile-budgeted dryruns/CI
+    cnn_stage_plan: str = "full"
 
     def setup(self):
         if self.use_tps:
@@ -49,7 +52,10 @@ class TRBAModel(nn.Module):
                 num_fiducials=self.tps_fiducials, dtype=self.dtype
             )
         self.cnn = SEResNet31(
-            out_channels=512, dropblock_p=self.dropblock_p, dtype=self.dtype
+            out_channels=512,
+            dropblock_p=self.dropblock_p,
+            dtype=self.dtype,
+            stage_plan=self.cnn_stage_plan,
         )
         self.enc_rnn1 = BiLSTM(self.hidden_size, self.hidden_size, dtype=self.dtype)
         self.enc_rnn2 = BiLSTM(self.hidden_size, self.hidden_size, dtype=self.dtype)
