@@ -46,11 +46,17 @@ def cmd_ocr(args):
             if args.out:
                 out = args.out
                 if len(args.images) > 1:
-                    stem, dot, ext = out.rpartition(".")
-                    out = (
-                        f"{stem}.{Path(image).stem}.{ext}"
-                        if dot
-                        else f"{out}.{Path(image).stem}"
+                    # per-image name via pathlib (a dot in a parent dir must
+                    # not mangle the path); identical stems from different
+                    # dirs get the input index so nothing is overwritten
+                    out_path = Path(args.out)
+                    stem = Path(image).stem
+                    if sum(1 for im in args.images if Path(im).stem == stem) > 1:
+                        stem = f"{stem}.{args.images.index(image)}"
+                    out = str(
+                        out_path.with_name(
+                            f"{out_path.stem}.{stem}{out_path.suffix}"
+                        )
                     )
                 with open(out, "w", encoding="utf-8") as f:
                     json.dump(result, f, ensure_ascii=False, indent=1)

@@ -103,6 +103,14 @@ class AttentionDecoder(nn.Module):
         model's own previous argmax prediction instead of the ground-truth
         token with probability ``ss_prob``. Static Python float — one
         compile per configured value.
+
+        Documented semantics deltas vs the reference (model.py:311-316),
+        both deliberate: (a) the coin is drawn PER SAMPLE here, not once
+        per step for the whole batch — one sample's curriculum no longer
+        depends on its batchmates; (b) the sampled prediction argmaxes the
+        blank-masked pre-dropout logits rather than the unmasked
+        post-dropout ones — a model with a <BLANK> id never feeds itself a
+        blank, and dropout noise doesn't pick the fed-back token.
         """
         b, _, _ = enc.shape
         steps = text_in.shape[1]

@@ -169,4 +169,10 @@ class SEResNet31(nn.Module):
             name="out_conv2",
         )(x)
         x = nn.relu(_bn(train, self.dtype, "out_bn2")(x))
+        if x.shape[1] == 0 or x.shape[2] == 0:  # trace-time shape check
+            raise ValueError(
+                "input too small for SEResNet31: feature map collapsed to "
+                f"{x.shape} — minimum input is 32 high (the height-pool "
+                "would silently produce NaNs)"
+            )
         return x  # (B, H', W', out_channels)

@@ -40,7 +40,7 @@ class Pipeline:
         beam_size: int = 8,
         alpha: float = 0.9,
         temperature: float = 1.7,
-        max_words: int = 256,
+        max_words: Union[int, str] = "auto",
         batch_pages: int = 4,
     ):
         """OCR pipeline over a pluggable detector + recognizer.
@@ -55,7 +55,9 @@ class Pipeline:
         to the classic host loop. True forces it (raises if not fusable),
         False disables. ``mode``/``beam_size``/``alpha``/``temperature``
         set the fused decode (defaults match TRBA.predict); ``max_words``
-        caps recognized words per page on the fused path; ``batch_pages``
+        caps recognized words per page on the fused path ("auto" sizes the
+        compiled capacity to the first page seen — fused.FusedOCR);
+        ``batch_pages``
         is how many pages ``process_batch`` rides through one vmapped
         device program (one upload/dispatch/fetch per chunk).
         """

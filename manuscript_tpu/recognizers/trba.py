@@ -73,6 +73,7 @@ class TRBA:
         dtype: Any = jnp.float32,
         use_pallas: bool = False,
         allow_random_init: Optional[bool] = None,
+        cnn_stage_plan: str = "full",
         **kwargs: Any,
     ):
         """Text recognizer.
@@ -158,6 +159,9 @@ class TRBA:
             blank_id=self.blank_id,
             dtype=dtype,
             use_pallas=use_pallas,
+            # "tiny" = 1 SE block per stage, same channels/strides — for
+            # compile-budgeted CI/dryruns (models/seresnet31.STAGE_PLANS)
+            cnn_stage_plan=cnn_stage_plan,
         )
         from ..parallel.mesh import canonicalize_layout
 

@@ -468,6 +468,30 @@ def train(
     if not metrics_csv.exists():
         with open(metrics_csv, "w", newline="", encoding="utf-8") as f:
             csv.writer(f).writerow(csv_fields)
+    else:
+        # resuming into an experiment written before a column change: a
+        # mismatched header would silently misalign appended rows — migrate
+        # old rows under the current header, padding missing columns
+        with open(metrics_csv, newline="", encoding="utf-8") as f:
+            rows = list(csv.reader(f))
+        if rows and rows[0] != csv_fields:
+            old_header, old_rows = rows[0], rows[1:]
+            idx = {name: i for i, name in enumerate(old_header)}
+            migrated = [
+                [
+                    (r[idx[name]] if name in idx and idx[name] < len(r) else "")
+                    for name in csv_fields
+                ]
+                for r in old_rows
+            ]
+            with open(metrics_csv, "w", newline="", encoding="utf-8") as f:
+                w = csv.writer(f)
+                w.writerow(csv_fields)
+                w.writerows(migrated)
+            log(
+                f"migrated {metrics_csv.name} from {len(old_header)}-column "
+                f"to {len(csv_fields)}-column layout"
+            )
 
     proportions = cfg.proportions or [1.0 / len(train_sets)] * len(train_sets)
     rng_key = jax.random.PRNGKey(cfg.seed)

@@ -98,9 +98,14 @@ def download_file(
     file at ``destination``.
     """
     import urllib.request
+    import uuid
 
     destination.parent.mkdir(parents=True, exist_ok=True)
-    tmp = destination.with_suffix(destination.suffix + ".part")
+    # unique temp per process: two concurrent constructors must not delete
+    # or rename each other's in-flight download past the sha256 check
+    tmp = destination.with_suffix(
+        destination.suffix + f".{os.getpid()}.{uuid.uuid4().hex[:8]}.part"
+    )
     try:
         with urllib.request.urlopen(url, timeout=timeout) as resp, open(
             tmp, "wb"
@@ -119,6 +124,41 @@ def download_file(
     return destination
 
 
+PINNED_HASHES_FILE = (
+    Path(__file__).resolve().parent.parent / "configs" / "release_hashes.json"
+)
+
+
+def pinned_sha256(name: str) -> Optional[str]:
+    """Release sha256 for ``name``: the RELEASES entry if set, else the
+    pinned-hash file written by ``examples/parity_check.py --pin-hashes``
+    on a networked host (this build environment has zero egress, so the
+    table ships with the pinning mechanism rather than the digests)."""
+    art = RELEASES[name]
+    if art.sha256 is not None:
+        return art.sha256
+    try:
+        import json
+
+        pinned = json.loads(PINNED_HASHES_FILE.read_text())
+        return pinned.get(name)
+    except (OSError, ValueError):
+        return None
+
+
+def pin_sha256(name: str, digest: str) -> None:
+    """Record a verified release digest in the pinned-hash file (used by
+    ``examples/parity_check.py --pin-hashes``)."""
+    import json
+
+    try:
+        pinned = json.loads(PINNED_HASHES_FILE.read_text())
+    except (OSError, ValueError):
+        pinned = {}
+    pinned[name] = digest
+    PINNED_HASHES_FILE.write_text(json.dumps(pinned, indent=1) + "\n")
+
+
 def fetch_artifact(
     name: str,
     cache_dir: Optional[Path] = None,
@@ -131,7 +171,15 @@ def fetch_artifact(
     art = RELEASES[name]
     root = cache_dir or cache_root()
     dest = root / art.subdir / art.filename
+    sha = pinned_sha256(name)
     if dest.exists():
+        if sha is not None:
+            got = _sha256_of(dest)
+            if got != sha:
+                raise RuntimeError(
+                    f"cached {art.name} at {dest} fails its pinned sha256 "
+                    f"(expected {sha}, got {got}) — delete it and re-fetch"
+                )
         return dest
     if os.environ.get("MANUSCRIPT_TPU_NO_DOWNLOAD") == "1":
         return None
@@ -139,7 +187,7 @@ def fetch_artifact(
     if not quiet:
         print(f"Downloading {art.name} from {url} -> {dest}")
     try:
-        return download_file(url, dest, sha256=art.sha256)
+        return download_file(url, dest, sha256=sha)
     except Exception as exc:  # network failure, bad digest, ...
         warnings.warn(f"Could not fetch {art.name} from {url}: {exc}")
         return None

@@ -228,11 +228,111 @@ class TestOutputPacking:
 
         east.score_thresh, _ = _calibrated(east, page_image)
         f = FusedOCR(east, trba, max_words=16, mode="greedy")
-        img, outs = f._dispatch(page_image)
-        _, _, _, wvalid, preds, _ = f._unpack(np.asarray(outs))
+        img, outs, meta = f._dispatch(page_image)
+        _, _, _, wvalid, preds, _, _ = f._unpack(np.asarray(outs), *meta)
         n = int(wvalid.sum())
         assert n > 0
         # greedy emits an argmax token every step; with random weights the
         # chance all steps of all words hit PAD(0) is ~0 — all-zero rows
         # mean the transport destroyed the payload
         assert np.any(preds[:n] != 0)
+
+
+class TestAutoCapacity:
+    def test_calibrate_one_dispatch_matches_host_counts(
+        self, east, trba, page_image
+    ):
+        """The count-only program's per-threshold eligible-word counts must
+        track the host predict() path's word counts (same decode + NMS
+        semantics, device vs host implementations)."""
+        from manuscript_tpu.fused import FusedOCR
+
+        thresh, n = _calibrated(east, page_image)
+        f = FusedOCR(east, trba, max_words=16, mode="greedy")
+        chosen, counts = f.calibrate(
+            page_image, thresholds=(thresh,), target_max_words=250
+        )
+        assert chosen == pytest.approx(thresh)
+        # device LANMS merges chains slightly differently (documented
+        # delta) — counts must be in the same ballpark, not bit-equal
+        assert counts[thresh] >= 1
+        assert abs(counts[thresh] - n) <= max(3, n)
+
+    def test_auto_capacity_resolves_and_recognizes(
+        self, east, trba, page_image
+    ):
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        f = FusedOCR(east, trba, mode="greedy")  # max_words defaults "auto"
+        assert f.max_words is None
+        page = f.predict(page_image)
+        assert f.max_words in f.capacity_buckets
+        assert f.last_dropped == 0
+        words = [w for b in page.blocks for w in b.words]
+        assert any(w.text is not None for w in words)
+
+    def test_overflow_detected_and_capacity_grows(
+        self, east, trba, page_image
+    ):
+        """A deliberately tiny bucket must report dropped words in-band and
+        re-bucket upward for the next page."""
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, n = _calibrated(east, page_image)
+        if n < 2:
+            pytest.skip("need >=2 detected words to overflow capacity 1")
+        f = FusedOCR(
+            east,
+            trba,
+            max_words="auto",
+            mode="greedy",
+            capacity_buckets=(1, 256),
+            capacity_headroom=0,
+        )
+        f._apply_capacity(1)  # force the undersized bucket
+        f.predict(page_image)
+        assert f.last_dropped >= 1
+        assert f.max_words == 256  # grown for subsequent pages
+        f.predict(page_image)
+        assert f.last_dropped == 0
+
+
+class TestCropScale:
+    def test_crop_scale2_same_boxes_text_produced(
+        self, east, trba, page_image
+    ):
+        """crop_scale=2 uploads a 2× copy for cropping: detection boxes are
+        untouched (same detector input), words still get text."""
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        base = FusedOCR(east, trba, max_words=8, mode="greedy").predict(
+            page_image
+        )
+        hi = FusedOCR(
+            east, trba, max_words=8, mode="greedy", crop_scale=2
+        ).predict(page_image)
+        bw = [w for b in base.blocks for w in b.words]
+        hw = [w for b in hi.blocks for w in b.words]
+        assert len(bw) == len(hw)
+        for a, b in zip(bw, hw):
+            np.testing.assert_allclose(
+                np.asarray(a.polygon), np.asarray(b.polygon), atol=0.1
+            )
+        assert any(w.text is not None for w in hw)
+
+    def test_crop_scale2_predict_many(self, east, trba, page_image):
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        f = FusedOCR(
+            east, trba, max_words=8, mode="greedy", crop_scale=2,
+            batch_pages=2,
+        )
+        single = f.predict(page_image)
+        many = f.predict_many([page_image, page_image, page_image])
+        assert len(many) == 3
+        sw = [w.text for b in single.blocks for w in b.words]
+        for got in many:
+            assert [w.text for b in got.blocks for w in b.words] == sw

@@ -1,5 +1,7 @@
 """Mesh/sharding tests on the 8-virtual-device CPU backend."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,3 +94,115 @@ class TestSharding:
 
     def test_initialize_distributed_noop(self):
         initialize_distributed()  # single-host: must not raise
+
+
+class TestMultiHost:
+    def test_two_process_distributed_cpu(self, tmp_path):
+        """Two real processes join one jax.distributed cluster (CPU
+        backend) and run a cross-process psum through
+        initialize_distributed + a shared mesh. This is the multi-host
+        code path minus TPU hardware (documented boundary in
+        parallel/mesh.py)."""
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(textwrap.dedent(f"""
+            import os, sys
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ.pop("XLA_FLAGS", None)  # 1 local device per process
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+            from manuscript_tpu.parallel.mesh import (
+                initialize_distributed, make_mesh, shard_batch,
+            )
+            pid = int(sys.argv[1])
+            initialize_distributed(
+                coordinator_address="127.0.0.1:{port}",
+                num_processes=2,
+                process_id=pid,
+            )
+            assert jax.process_count() == 2, jax.process_count()
+            import numpy as np
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = make_mesh(n_devices=2)
+            local = np.full((1, 4), float(pid + 1), np.float32)
+            x = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data", None)), local, (2, 4)
+            )
+            total = jax.jit(
+                lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+            )(x)
+            got = float(np.asarray(jax.device_get(total)))
+            assert got == 12.0, got  # (1+2) * 4
+            print(f"proc {{pid}} psum OK", flush=True)
+        """))
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=300)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out}"
+            assert "psum OK" in out
+
+    def test_explicit_kwargs_failure_raises(self):
+        """Misconfigured multi-host must fail loudly, not fall back."""
+        import subprocess
+        import sys
+        import textwrap
+
+        code = textwrap.dedent("""
+            import os, sys
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            sys.path.insert(0, sys.argv[1])
+            from manuscript_tpu.parallel.mesh import initialize_distributed
+            try:
+                initialize_distributed(
+                    coordinator_address="127.0.0.1:1",  # nothing listens
+                    num_processes=2,
+                    process_id=1,
+                    initialization_timeout=5,
+                )
+            except Exception:
+                print("RAISED", flush=True)
+            else:
+                print("SWALLOWED", flush=True)
+        """)
+        repo = str(Path(__file__).resolve().parent.parent)
+        out = subprocess.run(
+            [sys.executable, "-c", code, repo],
+            capture_output=True, text=True, timeout=120,
+        )
+        # "loudly" takes two shapes depending on the role: non-coordinator
+        # workers die with an absl FATAL from the coordination client
+        # (non-zero exit), coordinators raise a catchable Python error.
+        # Either way the job must NOT continue single-host ("SWALLOWED").
+        failed_loudly = "RAISED" in out.stdout or out.returncode != 0
+        assert failed_loudly and "SWALLOWED" not in out.stdout, (
+            out.stdout + out.stderr
+        )
