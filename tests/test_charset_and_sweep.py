@@ -92,3 +92,79 @@ class TestStudy:
         s = Study(space={"x": ("float", -1, 1)}, direction="minimize", seed=2)
         best = s.optimize(lambda p: p["x"] ** 2, 30)
         assert abs(best["params"]["x"]) < 0.3
+
+
+class TestTPESampler:
+    def test_tpe_beats_random_on_quadratic(self):
+        """TPE must concentrate samples near the optimum of a smooth
+        objective clearly faster than uniform sampling."""
+        import numpy as np
+
+        def run(sampler, seed):
+            s = Study(
+                space={"x": ("float", -5.0, 5.0), "y": ("float", -5.0, 5.0)},
+                direction="minimize",
+                seed=seed,
+                n_warmup=8,
+                sampler=sampler,
+            )
+            s.optimize(lambda p: (p["x"] - 1.3) ** 2 + (p["y"] + 2.1) ** 2, 40)
+            return s.best_trial["value"]
+
+        tpe = np.median([run("tpe", s) for s in range(5)])
+        # uniform-only baseline: warmup covers all trials
+        rnd = np.median(
+            [
+                Study(
+                    space={"x": ("float", -5.0, 5.0), "y": ("float", -5.0, 5.0)},
+                    direction="minimize", seed=s, n_warmup=1000,
+                ).optimize(
+                    lambda p: (p["x"] - 1.3) ** 2 + (p["y"] + 2.1) ** 2, 40
+                )["value"]
+                for s in range(5)
+            ]
+        )
+        assert tpe < rnd, (tpe, rnd)
+
+    def test_tpe_log_float_and_cat(self):
+        s = Study(
+            space={
+                "lr": ("float", 1e-5, 1.0, "log"),
+                "mode": ("cat", ["a", "b"]),
+                "n": ("int", 1, 8),
+            },
+            seed=3,
+            n_warmup=5,
+        )
+        # optimum: lr near 1e-3, mode "b", n high
+        import numpy as np
+
+        def obj(p):
+            return (
+                -abs(np.log10(p["lr"]) + 3.0)
+                + (1.0 if p["mode"] == "b" else 0.0)
+                + p["n"] / 8.0
+            )
+
+        best = s.optimize(obj, 50)
+        assert 1e-5 <= best["params"]["lr"] <= 1.0
+        assert best["params"]["mode"] in ("a", "b")
+        assert s.best_trial["value"] >= -1.5
+
+    def test_sqlite_storage_roundtrip(self, tmp_path):
+        db = tmp_path / "study.db"
+        s1 = Study(space={"x": ("int", 0, 10)}, storage=db, n_warmup=2)
+        s1.optimize(lambda p: p["x"], 4)
+        s2 = Study(space={"x": ("int", 0, 10)}, storage=db)
+        assert len(s2.trials) == 4
+        assert s2.best_trial["value"] == s1.best_trial["value"]
+        assert s2.trials[0]["number"] == 0
+        s2.tell({"x": 10}, 10.0)  # resumes numbering
+        s3 = Study(space={"x": ("int", 0, 10)}, storage=db)
+        assert len(s3.trials) == 5 and s3.best_trial["value"] == 10.0
+
+    def test_summary(self):
+        s = Study(space={"x": ("int", 0, 3)}, n_warmup=1, seed=0)
+        s.optimize(lambda p: p["x"], 3)
+        out = s.summary(top=2)
+        assert "3 trials" in out and "value=" in out
