@@ -29,6 +29,7 @@ def cmd_ocr(args):
         mode=args.mode,
         batch_pages=args.batch_pages,
         max_words=args.max_words,
+        crop_scale=args.crop_scale,
     )
     if len(args.images) > 1 and not args.vis:
         # many pages ride the chunked fused program — one device dispatch
@@ -145,8 +146,15 @@ def main(argv=None):
         help="pages per fused device program in multi-image runs",
     )
     p.add_argument(
-        "--max-words", type=int, default=256,
-        help="recognition capacity per page on the fused path",
+        "--max-words", default="auto",
+        type=lambda v: v if v == "auto" else int(v),
+        help="recognition capacity per page on the fused path; 'auto' "
+             "(default) sizes it to the first page",
+    )
+    p.add_argument(
+        "--crop-scale", type=int, default=1,
+        help="k>1 uploads a (k*target)^2 page copy so fused crops sample "
+             "k-times finer than detector resolution",
     )
     p.set_defaults(func=cmd_ocr)
 

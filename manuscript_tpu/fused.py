@@ -24,7 +24,9 @@ prepared and dispatched while the current one computes.
 Documented semantics deltas vs the classic path (all tested):
 * crops are sampled from the detector-resolution image (device-resident)
   rather than the original-resolution page — bilinear upscale vs cv2
-  INTER_AREA/LINEAR from full-res;
+  INTER_AREA/LINEAR from full-res (measured ~17.7 dB PSNR / 0.71 SSIM vs
+  full-res crops on the bench page; ``crop_scale=k`` trades a k²× larger
+  upload for k× finer crop sampling);
 * LANMS merges chains against the previous candidate rather than the
   running weighted average (ops/lanms_jax.locality_aware_nms_parallel);
 * at most ``max_words`` words are recognized per page (score-descending);

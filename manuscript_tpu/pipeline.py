@@ -42,6 +42,7 @@ class Pipeline:
         temperature: float = 1.7,
         max_words: Union[int, str] = "auto",
         batch_pages: int = 4,
+        crop_scale: int = 1,
     ):
         """OCR pipeline over a pluggable detector + recognizer.
 
@@ -59,7 +60,9 @@ class Pipeline:
         compiled capacity to the first page seen — fused.FusedOCR);
         ``batch_pages``
         is how many pages ``process_batch`` rides through one vmapped
-        device program (one upload/dispatch/fetch per chunk).
+        device program (one upload/dispatch/fetch per chunk);
+        ``crop_scale=k`` uploads a (k·target)² page copy so fused crops
+        sample k× finer than detector resolution (fused.FusedOCR).
         """
         if detector is None:
             from .detectors import EAST
@@ -88,6 +91,7 @@ class Pipeline:
                     temperature=temperature,
                     min_text_size=min_text_size,
                     batch_pages=batch_pages,
+                    crop_scale=crop_scale,
                 )
             elif fused is True:
                 raise ValueError(
