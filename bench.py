@@ -175,6 +175,16 @@ def main():
     raw["threshold_counts"] = {str(k): v for k, v in counts.items()}
     raw["word_capacity"] = fused.max_words
     raw["box_capacity"] = east.max_boxes
+    # the synthetic bench page is grayscale content stored as RGB (like
+    # most manuscript scans), so the lossless channel fold engages and
+    # pages upload as ONE channel — recorded for auditability
+    from manuscript_tpu.ops.image import detector_preprocess_host
+
+    raw["channel_folded"] = bool(
+        fused._encode_transport(
+            detector_preprocess_host(pages[0], target)
+        ).ndim == 2
+    )
 
     page0 = fused.predict(pages[0])  # compile the single-page program
     # (smoke pins an undersized bucket on purpose — harness health only)

@@ -41,7 +41,14 @@ from ..ops.boxes import (
     to_axis_aligned,
 )
 from ..ops.decode import compact_candidates, compact_topk, decode_cells_jax
-from ..ops.image import delta_decode_device, delta_encode, detector_preprocess_host, read_image
+from ..ops.image import (
+    delta_decode_device,
+    delta_encode,
+    detector_preprocess_host,
+    fold_channels,
+    read_image,
+    unfold_channels_device,
+)
 from ..ops.lanms import locality_aware_nms
 from ..ops.reading_order import reading_order_permutation
 from ..types import Block, Page, Word
@@ -73,6 +80,8 @@ class EAST:
         max_boxes: int = 1024,
         allow_random_init: Optional[bool] = None,
         transport: str = "delta",
+        fold_gray: bool = True,
+        fold_tol: int = 0,
     ):
         """Text detector. ``dtype`` is the backbone compute dtype (bfloat16
         rides the MXU; score/geometry heads always emit float32).
@@ -108,8 +117,12 @@ class EAST:
             )
         # "delta": pages upload as a lossless mod-256 row delta that the
         # device program inverts — 3-4x less link time on the compressing
-        # accelerator link (ops/image.py:delta_encode)
+        # accelerator link (ops/image.py:delta_encode). fold_gray
+        # additionally uploads grayscale-as-RGB pages as ONE channel
+        # (lossless 3x fewer bytes — ops/image.py:fold_channels)
         self.transport = transport
+        self.fold_gray = fold_gray
+        self.fold_tol = fold_tol
 
         self.model = EASTModel(backbone=backbone, dtype=dtype)
 
@@ -149,9 +162,24 @@ class EAST:
         return None
 
     def _encode_transport(self, resized):
+        if self.fold_gray:
+            folded = fold_channels(resized, self.fold_tol)
+            if folded is not None:
+                resized = folded
         return (
             delta_encode(resized) if self.transport == "delta" else resized
         )
+
+    def _encode_stack(self, pages):
+        """Chunk encode: channel fold is all-or-none per stacked chunk
+        (np.stack needs one shape)."""
+        if self.fold_gray:
+            folded = [fold_channels(p, self.fold_tol) for p in pages]
+            if all(f is not None for f in folded):
+                pages = folded
+        if self.transport == "delta":
+            pages = [delta_encode(p) for p in pages]
+        return pages
 
     def _init_variables(self):
         # init on host CPU (fast tracing, no per-op tunnel dispatch), then a
@@ -207,6 +235,8 @@ class EAST:
         def fn(variables, u8_img, score_thresh):
             if transport == "delta":
                 u8_img = delta_decode_device(u8_img)
+            if u8_img.ndim == 2:  # channel-folded upload
+                u8_img = unfold_channels_device(u8_img)
             x = (u8_img.astype(model.dtype) / 255.0 - 0.5) / 0.5
             out = model.apply(variables, x[None])
             score = out["score"][0, :, :, 0]  # (H/4, W/4) f32
@@ -252,6 +282,8 @@ class EAST:
         def fn(variables, u8_img, score_thresh, iou_threshold, scale_x, scale_y):
             if transport == "delta":
                 u8_img = delta_decode_device(u8_img)
+            if u8_img.ndim == 2:  # channel-folded upload
+                u8_img = unfold_channels_device(u8_img)
             x = (u8_img.astype(model.dtype) / 255.0 - 0.5) / 0.5
             out = model.apply(variables, x[None])
             score = out["score"][0, :, :, 0]
@@ -371,6 +403,8 @@ class EAST:
         def fn(variables, u8_imgs, score_thresh):
             if transport == "delta":
                 u8_imgs = delta_decode_device(u8_imgs, axis=1)
+            if u8_imgs.ndim == 3:  # channel-folded upload
+                u8_imgs = unfold_channels_device(u8_imgs)
             x = (u8_imgs.astype(model.dtype) / 255.0 - 0.5) / 0.5
             out = model.apply(variables, x)
             scores = out["score"][..., 0]  # (B, h, w)
@@ -420,18 +454,19 @@ class EAST:
             for start in range(0, len(loaded), batch_size):
                 chunk = loaded[start : start + batch_size]
                 resized = np.stack(
-                    [
-                        self._encode_transport(
+                    self._encode_stack(
+                        [
                             detector_preprocess_host(im, self.target_size)
-                        )
-                        for im in chunk
-                    ]
+                            for im in chunk
+                        ]
+                    )
                 )
                 n = resized.shape[0]
                 if n < batch_size:
+                    # pad shape follows the wire layout ((B,H,W) when the
+                    # chunk channel-folded, (B,H,W,3) otherwise)
                     pad = np.zeros(
-                        (batch_size - n, self.target_size, self.target_size, 3),
-                        np.uint8,
+                        (batch_size - n, *resized.shape[1:]), np.uint8
                     )
                     resized = np.concatenate([resized, pad], axis=0)
                 cands_d = fn(

@@ -49,7 +49,9 @@ from .ops.image import (
     delta_decode_device,
     delta_encode,
     detector_preprocess_host,
+    fold_channels,
     read_image,
+    unfold_channels_device,
 )
 from .ops.lanms_jax import locality_aware_nms_parallel
 from .ops.postprocess_jax import postprocess_boxes_jax
@@ -82,6 +84,8 @@ class FusedOCR:
         min_text_size: int = 5,
         batch_pages: int = 4,
         transport: str = "delta",
+        fold_gray: bool = True,
+        fold_tol: int = 0,
         crop_dtype: Any = jnp.bfloat16,
         capacity_buckets: tuple = (64, 128, 256),
         capacity_headroom: int = 8,
@@ -95,6 +99,16 @@ class FusedOCR:
         detector's ``max_boxes`` is shrunk to match). Dropped words are
         detected in-band either way (``last_dropped``; a warning is printed
         and capacity is re-bucketed upward on the next page).
+
+        ``fold_gray``: when True (default), a page whose three RGB channels
+        are bit-identical — grayscale content stored as RGB, the common
+        manuscript-scan case — uploads as ONE channel and is broadcast back
+        on device: a lossless 3× cut of the dominant link cost (the A/B in
+        ops/image.py:fold_channels measured upload time tracking bytes).
+        Color pages upload unchanged; in ``predict_many`` a chunk folds
+        only if every page in it folds. ``fold_tol>0`` additionally folds
+        near-gray pages (JPEG chroma noise) to channel 0 with per-pixel
+        error ≤ tol.
 
         ``crop_dtype``: matmul dtype of the device crop-gather. bfloat16
         (default) halves the crop-resample time at ≤ ±1 uint8 difference
@@ -126,6 +140,8 @@ class FusedOCR:
         self.min_text_size = min_text_size
         self.batch_pages = batch_pages
         self.transport = transport
+        self.fold_gray = fold_gray
+        self.fold_tol = fold_tol
         self.crop_dtype = crop_dtype
         self.capacity_buckets = tuple(sorted(capacity_buckets))
         self.capacity_headroom = capacity_headroom
@@ -183,6 +199,13 @@ class FusedOCR:
                 u8_img = delta_decode_device(u8_img)
                 if u8_img_hi is not None:
                     u8_img_hi = delta_decode_device(u8_img_hi)
+            # channel-folded upload (ops/image.py:fold_channels): the trace
+            # sees the 2-D shape, so folded and RGB pages are two jit cache
+            # entries of the same program
+            if u8_img.ndim == 2:
+                u8_img = unfold_channels_device(u8_img)
+            if u8_img_hi is not None and u8_img_hi.ndim == 2:
+                u8_img_hi = unfold_channels_device(u8_img_hi)
             # ---- detect ----
             x = (u8_img.astype(east_model.dtype) / 255.0 - 0.5) / 0.5
             out = east_model.apply(east_vars, x[None])
@@ -340,6 +363,8 @@ class FusedOCR:
         def fn(east_vars, u8_img, threshs, iou_thresh, scale_x, scale_y):
             if transport == "delta":
                 u8_img = delta_decode_device(u8_img)
+            if u8_img.ndim == 2:  # channel-folded upload
+                u8_img = unfold_channels_device(u8_img)
             x = (u8_img.astype(east_model.dtype) / 255.0 - 0.5) / 0.5
             out = east_model.apply(east_vars, x[None])
             score = out["score"][0, :, :, 0]
@@ -474,9 +499,27 @@ class FusedOCR:
     # ------------------------------------------------------------------
 
     def _encode_transport(self, resized: np.ndarray) -> np.ndarray:
+        """Encode ONE page for the link: optional lossless channel fold
+        (grayscale-as-RGB pages upload one channel), then row delta."""
+        if self.fold_gray:
+            folded = fold_channels(resized, self.fold_tol)
+            if folded is not None:
+                resized = folded
         return (
             delta_encode(resized) if self.transport == "delta" else resized
         )
+
+    def _encode_stack(self, pages: list) -> list:
+        """Encode a chunk of same-size pages. ``np.stack`` needs one shape,
+        so the chunk channel-folds only if EVERY page folds; a single color
+        page keeps the whole chunk RGB."""
+        if self.fold_gray:
+            folded = [fold_channels(p, self.fold_tol) for p in pages]
+            if all(f is not None for f in folded):
+                pages = folded
+        if self.transport == "delta":
+            pages = [delta_encode(p) for p in pages]
+        return pages
 
     def _dispatch(self, image) -> tuple:
         """Read + resize + upload one page; returns (orig_img, device outs)."""
@@ -606,17 +649,11 @@ class FusedOCR:
         for image in chunk:
             img = read_image(image)
             imgs.append(img)
-            resized.append(
-                self._encode_transport(
-                    detector_preprocess_host(img, det.target_size)
-                )
-            )
+            resized.append(detector_preprocess_host(img, det.target_size))
             if self.crop_scale > 1:
                 resized_hi.append(
-                    self._encode_transport(
-                        detector_preprocess_host(
-                            img, self.crop_scale * det.target_size
-                        )
+                    detector_preprocess_host(
+                        img, self.crop_scale * det.target_size
                     )
                 )
             sx.append(img.shape[1] / det.target_size)
@@ -627,6 +664,10 @@ class FusedOCR:
                 resized_hi.append(resized_hi[-1])
             sx.append(sx[-1])
             sy.append(sy[-1])
+        # encode as a chunk (channel fold is all-or-none per stack)
+        resized = self._encode_stack(resized)
+        if resized_hi:
+            resized_hi = self._encode_stack(resized_hi)
         self._resolve_capacity(resized[0], sx[0], sy[0])
         hi = (
             (jnp.asarray(np.stack(resized_hi)),) if self.crop_scale > 1 else ()

@@ -5,10 +5,14 @@ from PIL import Image
 from manuscript_tpu.ops.image import (
     batch_resize_and_pad,
     crop_axis_aligned,
+    delta_decode_device,
+    delta_encode,
     detector_preprocess_host,
+    fold_channels,
     normalize_u8,
     read_image,
     resize_and_pad,
+    unfold_channels_device,
 )
 
 
@@ -102,3 +106,42 @@ def test_detector_preprocess_shape():
     img = np.zeros((123, 456, 3), dtype=np.uint8)
     out = detector_preprocess_host(img, 256)
     assert out.shape == (256, 256, 3)
+
+
+class TestChannelFold:
+    def test_gray_as_rgb_folds_exact(self):
+        rng = np.random.default_rng(0)
+        g = rng.integers(0, 256, (40, 30), dtype=np.uint8)
+        img = np.repeat(g[..., None], 3, axis=-1)
+        folded = fold_channels(img)
+        np.testing.assert_array_equal(folded, g)
+
+    def test_color_does_not_fold(self):
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[0, 0, 1] = 1  # one off-gray pixel
+        assert fold_channels(img) is None
+
+    def test_tolerance_folds_near_gray(self):
+        rng = np.random.default_rng(1)
+        g = rng.integers(2, 254, (16, 16), dtype=np.uint8)
+        img = np.repeat(g[..., None], 3, axis=-1)
+        img[..., 1] = img[..., 1] + 2  # JPEG-ish chroma noise
+        assert fold_channels(img) is None
+        folded = fold_channels(img, tol=2)
+        np.testing.assert_array_equal(folded, g)  # channel 0
+
+    def test_non_rgb_shapes_return_none(self):
+        assert fold_channels(np.zeros((8, 8), np.uint8)) is None
+        assert fold_channels(np.zeros((8, 8, 4), np.uint8)) is None
+
+    def test_device_roundtrip_fold_delta(self):
+        """fold → delta → device delta-decode → unfold is bit-exact."""
+        rng = np.random.default_rng(2)
+        g = rng.integers(0, 256, (32, 24), dtype=np.uint8)
+        img = np.repeat(g[..., None], 3, axis=-1)
+        wire = delta_encode(fold_channels(img))
+        assert wire.shape == (32, 24)  # 3x fewer bytes on the link
+        back = np.asarray(
+            unfold_channels_device(delta_decode_device(wire))
+        )
+        np.testing.assert_array_equal(back, img)

@@ -79,6 +79,39 @@ def test_fused_pipeline_tiny(tiny_east, tiny_trba, tiny_page):
     assert counts[thresh] >= 0
 
 
+def test_fused_channel_fold_parity_tiny(tiny_east, tiny_trba, tiny_page):
+    """fold_gray (default) uploads the gray-as-RGB tiny page as ONE channel;
+    results must be bit-identical to the unfolded upload (the fold is
+    lossless), and a color page must fall back to the RGB program."""
+    from manuscript_tpu.fused import FusedOCR
+
+    _some_thresh(tiny_east, tiny_page)
+    folded = FusedOCR(tiny_east, tiny_trba, max_words=8, mode="greedy")
+    plain = FusedOCR(
+        tiny_east, tiny_trba, max_words=8, mode="greedy", fold_gray=False
+    )
+    # the tiny page is grayscale content stored as RGB → wire is 2-D
+    wire = folded._encode_transport(tiny_page)
+    assert wire.ndim == 2
+    pf = folded.predict(tiny_page)
+    pp = plain.predict(tiny_page)
+    wf = [(w.text, tuple(map(tuple, w.polygon))) for b in pf.blocks for w in b.words]
+    wp = [(w.text, tuple(map(tuple, w.polygon))) for b in pp.blocks for w in b.words]
+    assert wf == wp
+
+    # color page: no fold, same program still runs (RGB trace)
+    color = tiny_page.copy()
+    color[..., 2] = np.clip(color[..., 2].astype(np.int16) + 7, 0, 255)
+    assert folded._encode_transport(color).ndim == 3
+    folded.predict(color)  # must not raise
+
+    # chunk fold is all-or-none: one color page keeps the stack RGB
+    stack = folded._encode_stack([tiny_page, color])
+    assert all(p.ndim == 3 for p in stack)
+    stack = folded._encode_stack([tiny_page, tiny_page])
+    assert all(p.ndim == 2 for p in stack)
+
+
 def test_device_lanms_tiny():
     """Device LANMS (scan + parallel variants) vs host on a small set."""
     import jax.numpy as jnp
