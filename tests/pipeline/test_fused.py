@@ -275,8 +275,9 @@ class TestAutoCapacity:
     def test_overflow_detected_and_capacity_grows(
         self, east, trba, page_image
     ):
-        """A deliberately tiny bucket must report dropped words in-band and
-        re-bucket upward for the next page."""
+        """A deliberately tiny bucket must detect the overflow in-band,
+        re-bucket upward, and transparently re-run the page at the grown
+        capacity — the returned page loses no recognized words."""
         from manuscript_tpu.fused import FusedOCR
 
         east.score_thresh, n = _calibrated(east, page_image)
@@ -291,11 +292,16 @@ class TestAutoCapacity:
             capacity_headroom=0,
         )
         f._apply_capacity(1)  # force the undersized bucket
-        f.predict(page_image)
-        assert f.last_dropped >= 1
+        page = f.predict(page_image)
+        assert f.last_overflow >= 1  # the overflow happened...
+        assert f.last_dropped == 0  # ...and the re-run recovered it
         assert f.max_words == 256  # grown for subsequent pages
-        f.predict(page_image)
-        assert f.last_dropped == 0
+        texted = [
+            w for b in page.blocks for w in b.words if w.text is not None
+        ]
+        assert len(texted) >= 2  # more words than the tiny bucket held
+        # (pinned-capacity drop semantics — no retry — is covered by
+        # test_max_words_cap)
 
 
 class TestCropScale:
