@@ -30,6 +30,15 @@ os.environ.setdefault("MANUSCRIPT_TPU_ALLOW_RANDOM_INIT", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Tests validate semantics, not kernel speed: skip XLA's expensive
+# optimization passes so the compile-heavy device-path tests fit the
+# default tier on a one-core host (measured: full default selection
+# 8 min → ~6.5 min; the tiny fused pipeline 47 s → 18 s). The flag
+# lowers the backend optimization level only — no fast-math, numerics
+# unchanged (dryrun losses bit-identical either way). Opt out with
+# MANUSCRIPT_TPU_TEST_FULL_OPT=1 to compile tests at full opt level.
+if os.environ.get("MANUSCRIPT_TPU_TEST_FULL_OPT") != "1":
+    jax.config.update("jax_disable_most_optimizations", True)
 # NOTE: no persistent compile cache — the XLA:CPU AOT loader on this host
 # rejects its own cache entries (machine-feature canonicalization mismatch)
 # and can SIGILL on load. Opt in via MANUSCRIPT_TPU_JAX_CACHE if known-good.
