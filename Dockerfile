@@ -21,4 +21,5 @@ RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-
 # model cache volume (native .msgpack or converted .pth checkpoints)
 VOLUME ["/root/.manuscript_tpu"]
 
-CMD ["python", "examples/pipeline_infer.py"]
+EXPOSE 8000
+CMD ["python", "-m", "manuscript_tpu", "serve", "--port", "8000"]

@@ -131,6 +131,30 @@ def cmd_bench(args):
         sys.exit(1)
 
 
+def cmd_serve(args):
+    from . import Pipeline
+    from .serve import OCRServer
+
+    pipe = Pipeline(
+        mode=args.mode,
+        batch_pages=args.batch_pages,
+        max_words=args.max_words,
+    )
+    server = OCRServer(
+        pipe,
+        host=args.host,
+        port=args.port,
+        batch_wait_ms=args.batch_wait_ms,
+    )
+    print(
+        f"serving OCR on http://{args.host}:{server.port} "
+        f"(micro-batch {server.batch_pages} pages, "
+        f"wait {args.batch_wait_ms} ms) — POST /ocr, GET /healthz, /metrics",
+        flush=True,
+    )
+    server.serve_forever()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="manuscript_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -178,6 +202,26 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the standard benchmark")
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser(
+        "serve", help="HTTP OCR server with micro-batched device dispatch"
+    )
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--mode", choices=["beam", "greedy"], default="beam")
+    p.add_argument(
+        "--batch-pages", type=int, default=4,
+        help="max pages coalesced into one fused device program",
+    )
+    p.add_argument(
+        "--batch-wait-ms", type=float, default=25.0,
+        help="max extra latency a request pays waiting for batch-mates",
+    )
+    p.add_argument(
+        "--max-words", default="auto",
+        type=lambda v: v if v == "auto" else int(v),
+    )
+    p.set_defaults(func=cmd_serve)
 
     args = parser.parse_args(argv)
     args.func(args)

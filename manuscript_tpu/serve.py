@@ -1,0 +1,285 @@
+"""Production HTTP serving for the OCR pipeline (stdlib-only).
+
+The reference has no serving story beyond a Dockerfile CMD that runs a demo
+script (reference Dockerfile:32); production users re-wrap it themselves.
+This module is the TPU-native equivalent of that missing layer:
+
+* **Micro-batching** — concurrent requests coalesce into one fused device
+  program of up to ``Pipeline.batch_pages`` pages (one upload, one dispatch,
+  one fetch per chunk — the same chunked program ``predict_many`` rides).
+  On a link-bound chip this is the difference between per-request dispatch
+  overhead and amortized steady-state throughput (BASELINE.md link
+  characterization: ~12 ms dispatch + ~35 ms fetch per device call).
+* **One inference thread** — the device program is driven by a single
+  worker; HTTP threads only enqueue and wait. No lock contention on the
+  JAX runtime, no interleaved transfers fighting for the link.
+* **Endpoints** — ``POST /ocr`` (raw image body → JSON page + text),
+  ``GET /healthz`` (liveness + backend), ``GET /metrics``
+  (Prometheus-style counters).
+
+Usage::
+
+    python -m manuscript_tpu serve --port 8000            # real models
+    OCRServer(pipeline, port=8000).serve_forever()          # embedded
+
+The handler is pipeline-agnostic (same duck-typed contract as ``Pipeline``):
+anything with ``predict``/``process_batch``/``get_text`` serves.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Job:
+    image: np.ndarray
+    mode_ok: bool = True
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[str] = None
+
+
+class _Metrics:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests_total = 0
+        self.pages_total = 0
+        self.errors_total = 0
+        self.batch_count = 0
+        self.busy_seconds = 0.0
+        self.started = time.time()
+
+    def render(self) -> str:
+        with self.lock:
+            up = time.time() - self.started
+            lines = [
+                "# TYPE ocr_requests_total counter",
+                f"ocr_requests_total {self.requests_total}",
+                "# TYPE ocr_pages_total counter",
+                f"ocr_pages_total {self.pages_total}",
+                "# TYPE ocr_errors_total counter",
+                f"ocr_errors_total {self.errors_total}",
+                "# TYPE ocr_batches_total counter",
+                f"ocr_batches_total {self.batch_count}",
+                "# TYPE ocr_device_busy_seconds counter",
+                f"ocr_device_busy_seconds {self.busy_seconds:.3f}",
+                "# TYPE ocr_mean_batch_fill gauge",
+                "ocr_mean_batch_fill "
+                f"{(self.pages_total / self.batch_count) if self.batch_count else 0.0:.3f}",
+                "# TYPE ocr_uptime_seconds gauge",
+                f"ocr_uptime_seconds {up:.1f}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
+class OCRServer:
+    """HTTP front-end over a Pipeline-contract object with micro-batching.
+
+    ``batch_wait_ms`` bounds the extra latency a lone request pays waiting
+    for batch-mates; a full batch dispatches immediately.
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        host: str = "0.0.0.0",
+        port: int = 8000,
+        batch_pages: Optional[int] = None,
+        batch_wait_ms: float = 25.0,
+        max_body_bytes: int = 64 * 1024 * 1024,
+    ):
+        self.pipeline = pipeline
+        self.batch_pages = int(
+            batch_pages
+            if batch_pages is not None
+            else getattr(pipeline, "batch_pages", None) or 4
+        )
+        self.batch_wait_s = batch_wait_ms / 1e3
+        self.max_body_bytes = max_body_bytes
+        self.metrics = _Metrics()
+        self._queue: "queue.Queue[_Job]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._drain_loop, name="ocr-batcher", daemon=True
+        )
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet default request logging; metrics carry the counters
+            def log_message(self, fmt, *args):  # noqa: D102
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, code: int, obj) -> None:
+                self._send(
+                    code,
+                    json.dumps(obj).encode("utf-8"),
+                    "application/json",
+                )
+
+            def do_GET(self):  # noqa: N802
+                if self.path.startswith("/healthz"):
+                    self._send_json(200, server.health())
+                elif self.path.startswith("/metrics"):
+                    self._send(
+                        200,
+                        server.metrics.render().encode("utf-8"),
+                        "text/plain; version=0.0.4",
+                    )
+                else:
+                    self._send_json(404, {"error": "not found"})
+
+            def do_POST(self):  # noqa: N802
+                if not self.path.startswith("/ocr"):
+                    self._send_json(404, {"error": "not found"})
+                    return
+                length = int(self.headers.get("Content-Length") or 0)
+                if length <= 0:
+                    self._send_json(400, {"error": "empty body"})
+                    return
+                if length > server.max_body_bytes:
+                    self._send_json(413, {"error": "body too large"})
+                    return
+                body = self.rfile.read(length)
+                try:
+                    img = server.decode_image(body)
+                except Exception as exc:
+                    server._count_error()
+                    self._send_json(400, {"error": f"bad image: {exc}"})
+                    return
+                t0 = time.time()
+                job = server.submit(img)
+                job.done.wait()
+                if job.error is not None:
+                    server._count_error()
+                    self._send_json(500, {"error": job.error})
+                    return
+                page = job.result
+                self._send_json(
+                    200,
+                    {
+                        "seconds": round(time.time() - t0, 4),
+                        "text": server.pipeline.get_text(page),
+                        "page": page.model_dump(),
+                    },
+                )
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def decode_image(body: bytes) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(body))
+        return np.asarray(img.convert("RGB"))
+
+    def health(self) -> dict:
+        try:
+            import jax
+
+            backend = jax.default_backend()
+        except Exception:
+            backend = "unknown"
+        return {
+            "status": "ok",
+            "backend": backend,
+            "batch_pages": self.batch_pages,
+            "queue_depth": self._queue.qsize(),
+        }
+
+    def submit(self, image: np.ndarray) -> _Job:
+        job = _Job(image=image)
+        with self.metrics.lock:
+            self.metrics.requests_total += 1
+        self._queue.put(job)
+        return job
+
+    def _count_error(self):
+        with self.metrics.lock:
+            self.metrics.errors_total += 1
+
+    # ------------------------------------------------------------------
+
+    def _drain_loop(self):
+        """Single inference thread: block for one job, then wait up to
+        ``batch_wait_s`` for batch-mates (a full batch goes immediately)."""
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.time() + self.batch_wait_s
+            while len(batch) < self.batch_pages:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        t0 = time.time()
+        try:
+            if len(batch) == 1:
+                pages = [self.pipeline.predict(batch[0].image)]
+            else:
+                pages = self.pipeline.process_batch(
+                    [j.image for j in batch]
+                )
+            for job, page in zip(batch, pages):
+                job.result = page
+        except Exception as exc:  # surface per-job; keep the worker alive
+            for job in batch:
+                job.error = f"{type(exc).__name__}: {exc}"
+        finally:
+            with self.metrics.lock:
+                self.metrics.pages_total += len(batch)
+                self.metrics.batch_count += 1
+                self.metrics.busy_seconds += time.time() - t0
+            for job in batch:
+                job.done.set()
+
+    # ------------------------------------------------------------------
+
+    def serve_forever(self):
+        self._worker.start()
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.shutdown()
+
+    def start_background(self):
+        """Start worker + HTTP threads and return (for tests/embedding)."""
+        self._worker.start()
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, name="ocr-http", daemon=True
+        )
+        self._http_thread.start()
+
+    def shutdown(self):
+        self._stop.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -1,0 +1,209 @@
+"""OCRServer: micro-batching, endpoints, error isolation (stub pipeline).
+
+The reference ships no serving layer (its Dockerfile CMD runs a demo
+script); serve.py is the TPU-native production front-end. These tests
+drive the real HTTP server + batcher threads against a stub pipeline so
+they stay in the fast default selection (no device programs compiled).
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from manuscript_tpu.serve import OCRServer
+from manuscript_tpu.types import Block, Page, Word
+
+
+class StubPipeline:
+    """Duck-typed Pipeline contract: predict/process_batch/get_text."""
+
+    batch_pages = 4
+
+    def __init__(self, delay_s: float = 0.0, fail_on: str | None = None):
+        self.delay_s = delay_s
+        self.fail_on = fail_on
+        self.calls = []  # list of batch sizes, in dispatch order
+        self.lock = threading.Lock()
+
+    def _page(self, image) -> Page:
+        h, w = image.shape[:2]
+        word = Word(
+            polygon=[(0.0, 0.0), (w, 0.0), (w, h), (0.0, h)],
+            detection_confidence=1.0,
+            text=f"{w}x{h}",
+        )
+        return Page(blocks=[Block(words=[word])])
+
+    def predict(self, image):
+        with self.lock:
+            self.calls.append(1)
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        if self.fail_on == "predict":
+            raise ValueError("boom")
+        return self._page(image)
+
+    def process_batch(self, images):
+        with self.lock:
+            self.calls.append(len(images))
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        if self.fail_on == "batch":
+            raise ValueError("boom")
+        return [self._page(im) for im in images]
+
+    def get_text(self, page) -> str:
+        return " ".join(
+            w.text for b in page.blocks for w in b.words if w.text
+        )
+
+
+def make_png(w=32, h=24) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.zeros((h, w, 3), np.uint8)
+    ).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def server():
+    pipe = StubPipeline()
+    srv = OCRServer(pipe, host="127.0.0.1", port=0, batch_wait_ms=40.0)
+    srv.start_background()
+    yield srv, pipe
+    srv.shutdown()
+
+
+def _post(port: int, body: bytes, path="/ocr"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port: int, path: str):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=10
+    ) as resp:
+        return resp.status, resp.read().decode()
+
+
+def test_single_request_roundtrip(server):
+    srv, pipe = server
+    status, body = _post(srv.port, make_png(40, 30))
+    assert status == 200
+    assert body["text"] == "40x30"
+    assert body["page"]["blocks"][0]["words"][0]["text"] == "40x30"
+    assert pipe.calls == [1]  # lone request rides predict()
+
+
+def test_concurrent_requests_coalesce(server):
+    srv, pipe = server
+    pipe.delay_s = 0.05
+    png = make_png()
+    results = []
+
+    def hit():
+        results.append(_post(srv.port, png))
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(s == 200 for s, _ in results)
+    # 4 requests inside the 40 ms window -> fewer dispatches than requests
+    assert sum(pipe.calls) == 4
+    assert len(pipe.calls) < 4
+    assert max(pipe.calls) > 1  # at least one true batch via process_batch
+
+
+def test_bad_image_is_400_and_counted(server):
+    srv, _ = server
+    status, body = _post(srv.port, b"not an image")
+    assert status == 400
+    assert "bad image" in body["error"]
+    _, metrics = _get(srv.port, "/metrics")
+    assert "ocr_errors_total 1" in metrics
+
+
+def test_pipeline_error_is_500_worker_survives(server):
+    srv, pipe = server
+    pipe.fail_on = "predict"
+    status, body = _post(srv.port, make_png())
+    assert status == 500
+    assert "boom" in body["error"]
+    pipe.fail_on = None  # worker must still be alive
+    status, _ = _post(srv.port, make_png())
+    assert status == 200
+
+
+def test_healthz_and_metrics(server):
+    srv, _ = server
+    status, body = _get(srv.port, "/healthz")
+    assert status == 200
+    health = json.loads(body)
+    assert health["status"] == "ok"
+    assert health["batch_pages"] == 4
+    _post(srv.port, make_png())
+    status, metrics = _get(srv.port, "/metrics")
+    assert status == 200
+    assert "ocr_requests_total 1" in metrics
+    assert "ocr_pages_total 1" in metrics
+
+
+def test_oversized_body_rejected():
+    pipe = StubPipeline()
+    srv = OCRServer(
+        pipe, host="127.0.0.1", port=0, max_body_bytes=100
+    )
+    srv.start_background()
+    try:
+        status, body = _post(srv.port, b"x" * 200)
+        assert status == 413
+    finally:
+        srv.shutdown()
+
+
+def test_cli_serve_parser_wires_defaults(monkeypatch):
+    """`serve` subcommand parses and constructs the server (no real models)."""
+    import manuscript_tpu.__main__ as cli
+
+    captured = {}
+
+    class FakeServer:
+        def __init__(self, pipe, host, port, batch_wait_ms):
+            captured.update(
+                pipe=pipe, host=host, port=port, wait=batch_wait_ms
+            )
+            self.port = port
+            self.batch_pages = getattr(pipe, "batch_pages", 4)
+
+        def serve_forever(self):
+            captured["served"] = True
+
+    monkeypatch.setattr(
+        "manuscript_tpu.serve.OCRServer", FakeServer
+    )
+    monkeypatch.setattr(
+        "manuscript_tpu.Pipeline", lambda **kw: StubPipeline()
+    )
+    cli.main(
+        ["serve", "--host", "127.0.0.1", "--port", "8123",
+         "--mode", "greedy", "--batch-wait-ms", "10"]
+    )
+    assert captured["served"]
+    assert captured["port"] == 8123
+    assert captured["wait"] == 10.0
