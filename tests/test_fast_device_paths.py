@@ -151,9 +151,11 @@ def test_device_lanms_tiny():
 
 def test_spmd_train_step_tiny():
     """Full TRBA train step (sharded batch, replicated params, XLA gradient
-    all-reduce) over the 8-virtual-device mesh — tiny shapes so the compile
-    fits the default test tier. EAST SAM SPMD runs in the slow tier and in
-    __graft_entry__.dryrun_multichip."""
+    all-reduce) — tiny shapes over a 2-device mesh so the compile fits the
+    default test tier on a one-core host (8 virtual partitions timeslicing
+    one core cost ~5 min; 2 partitions exercise identical SPMD semantics).
+    The full 8-device mesh runs in the slow tier (tests/test_parallel.py)
+    and in __graft_entry__.dryrun_multichip."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -162,7 +164,7 @@ def test_spmd_train_step_tiny():
     from manuscript_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from manuscript_tpu.train.trba_train import make_train_step
 
-    mesh = make_mesh(n_devices=8)
+    mesh = make_mesh(n_devices=2)
     model = TRBAModel(
         num_classes=12, hidden_size=8, dtype=jnp.float32, cnn_stage_plan="tiny"
     )
@@ -179,9 +181,9 @@ def test_spmd_train_step_tiny():
     step = make_train_step(model, tx, pad_id=0)
     batch = shard_batch(
         {
-            "image": np.zeros((8, 32, 32, 3), np.uint8),
-            "text_in": np.ones((8, 3), np.int32),
-            "target_y": np.ones((8, 3), np.int32),
+            "image": np.zeros((2, 32, 32, 3), np.uint8),
+            "text_in": np.ones((2, 3), np.int32),
+            "target_y": np.ones((2, 3), np.int32),
         },
         mesh,
     )
