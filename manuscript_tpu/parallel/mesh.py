@@ -107,9 +107,17 @@ def canonicalize_layout(tree):
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate (a pytree of) arrays across the mesh (canonical layouts)."""
+    """Replicate (a pytree of) arrays across the mesh (canonical layouts).
+
+    The layout-canonicalizing jitted identity only matters on accelerators
+    (exotic tiled layouts); on a CPU mesh layouts are trivial and compiling
+    an identity program over hundreds of parameters costs 30-90s on a
+    1-core host (measured r3) — skip it there.
+    """
     sharding = replicated(mesh)
     placed = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if mesh.devices.ravel()[0].platform == "cpu":
+        return placed
     return jax.jit(lambda t: t, out_shardings=sharding)(placed)
 
 

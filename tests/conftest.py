@@ -20,6 +20,11 @@ if "collective_call_terminate" not in _flags:
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
         " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     )
+# Skip the expensive LLVM middle-end passes (compile-time-only knob; HLO
+# passes untouched, numerics unchanged — dryrun losses bit-identical).
+# A/B r3: TRBA SPMD step compile 215s → 143s on one core.
+if "llvm_disable_expensive_passes" not in _flags:
+    _flags += " --xla_llvm_disable_expensive_passes=true"
 os.environ["XLA_FLAGS"] = _flags.strip()
 
 # Tests run weight-free: no network fetch attempts, and wrappers may fall
