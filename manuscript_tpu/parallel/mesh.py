@@ -112,12 +112,19 @@ def replicate(tree, mesh: Mesh):
     The layout-canonicalizing jitted identity only matters on accelerators
     (exotic tiled layouts); on a CPU mesh layouts are trivial and compiling
     an identity program over hundreds of parameters costs 30-90s on a
-    1-core host (measured r3) — skip it there.
+    1-core host (measured r3) — skip it there. The CPU branch still must
+    return FRESH buffers: callers feed the result to donating train steps
+    while keeping references to the input tree (lookahead slow weights,
+    ema-off aliasing), and ``device_put`` can be a no-copy reshard. Each
+    leaf therefore round-trips through a host copy — no compile, one
+    memcpy, and the device buffers can never alias the caller's arrays.
     """
     sharding = replicated(mesh)
-    placed = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
     if mesh.devices.ravel()[0].platform == "cpu":
-        return placed
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.array(x), sharding), tree
+        )
+    placed = jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
     return jax.jit(lambda t: t, out_shardings=sharding)(placed)
 
 

@@ -22,7 +22,10 @@ if "collective_call_terminate" not in _flags:
     )
 # Skip the expensive LLVM middle-end passes (compile-time-only knob; HLO
 # passes untouched, numerics unchanged — dryrun losses bit-identical).
-# A/B r3: TRBA SPMD step compile 215s → 143s on one core.
+# A/B r3: TRBA SPMD step compile 215s → 143s on one core. NOTE: in the
+# DEFAULT test tier this flag is redundant — jax_disable_most_optimizations
+# below already sets the same debug option — it only takes effect under
+# MANUSCRIPT_TPU_TEST_FULL_OPT=1 (and in the dryrun, which runs at full opt).
 if "llvm_disable_expensive_passes" not in _flags:
     _flags += " --xla_llvm_disable_expensive_passes=true"
 os.environ["XLA_FLAGS"] = _flags.strip()

@@ -154,8 +154,9 @@ def test_spmd_train_step_tiny():
     all-reduce) — tiny shapes over a 2-device mesh so the compile fits the
     default test tier on a one-core host (8 virtual partitions timeslicing
     one core cost ~5 min; 2 partitions exercise identical SPMD semantics).
-    The full 8-device mesh runs in the slow tier (tests/test_parallel.py)
-    and in __graft_entry__.dryrun_multichip."""
+    Full-model 8-device train steps run in the slow tier
+    (tests/test_parallel.py::TestFullModelSPMD) and in
+    __graft_entry__.dryrun_multichip."""
     import jax
     import jax.numpy as jnp
     import optax
