@@ -145,6 +145,8 @@ def cmd_serve(args):
         host=args.host,
         port=args.port,
         batch_wait_ms=args.batch_wait_ms,
+        max_queue=args.max_queue,
+        request_timeout_s=args.request_timeout_s,
     )
     print(
         f"serving OCR on http://{args.host}:{server.port} "
@@ -220,6 +222,14 @@ def main(argv=None):
     p.add_argument(
         "--max-words", default="auto",
         type=lambda v: v if v == "auto" else int(v),
+    )
+    p.add_argument(
+        "--max-queue", type=int, default=64,
+        help="bounded admission queue; full queue returns 429",
+    )
+    p.add_argument(
+        "--request-timeout-s", type=float, default=120.0,
+        help="end-to-end per-request budget; expiry returns 504",
     )
     p.set_defaults(func=cmd_serve)
 

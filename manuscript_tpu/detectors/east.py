@@ -387,19 +387,21 @@ class EAST:
             score_map_d, geo_map_d, return_maps,
         )
 
-    def _get_batch_fn(self, batch: int):
-        """Batched page program: (B,H,W,3) u8 → per-page top-k candidates."""
+    def _get_batch_fn(self, batch: int, mesh=None):
+        """Batched page program: (B,H,W,3) u8 → per-page top-k candidates.
+        With a ``mesh`` the page axis is sharded over its 'data' axis
+        (weights replicated) — multi-chip detection, no collectives."""
         if getattr(self, "_batch_fns", None) is None:
             self._batch_fns = {}
-        if batch in self._batch_fns:
-            return self._batch_fns[batch]
+        key = (batch, mesh)
+        if key in self._batch_fns:
+            return self._batch_fns[key]
         model = self.model
         q = self.quantization
         scale = 1.0 / self.score_geo_scale
         max_cands = self.max_candidates
         transport = self.transport
 
-        @jax.jit
         def fn(variables, u8_imgs, score_thresh):
             if transport == "delta":
                 u8_imgs = delta_decode_device(u8_imgs, axis=1)
@@ -418,8 +420,29 @@ class EAST:
 
             return jax.vmap(decode_one)(scores, geos)
 
-        self._batch_fns[batch] = fn
+        if mesh is None:
+            fn = jax.jit(fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            rep = NamedSharding(mesh, P())
+            dat = NamedSharding(mesh, P(DATA_AXIS))
+            fn = jax.jit(fn, in_shardings=(rep, dat, rep), out_shardings=dat)
+
+        self._batch_fns[key] = fn
         return fn
+
+    def _mesh_variables(self, mesh):
+        """Weights replicated over ``mesh`` (cached per mesh)."""
+        if getattr(self, "_mesh_vars", None) is None:
+            self._mesh_vars = {}
+        if mesh not in self._mesh_vars:
+            from ..parallel.mesh import replicate
+
+            self._mesh_vars[mesh] = replicate(self.variables, mesh)
+        return self._mesh_vars[mesh]
 
     def predict_batch(
         self,
@@ -428,10 +451,19 @@ class EAST:
         vis: bool = False,
         profile: bool = False,
         sort_reading_order: bool = False,
+        mesh=None,
     ):
         """Detect over many pages with a batched device program (one forward
         per ``batch_size`` pages; partial chunks pad to the bucket). Returns
-        a list of result dicts like ``predict``."""
+        a list of result dicts like ``predict``. ``mesh`` (a
+        ``jax.sharding.Mesh``) shards each chunk's page axis over the mesh's
+        'data' axis for multi-chip detection; ``batch_size`` is rounded up
+        to a multiple of the data-axis size."""
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            batch_size = max(n_data, -(-batch_size // n_data) * n_data)
         loaded = [read_image(im) for im in images]
         results = []
 
@@ -450,7 +482,10 @@ class EAST:
                 cands_d = fn1(self.variables, jnp.asarray(resized), thresh)
                 pending.append(([img], 1, cands_d[None], start))
         else:
-            fn = self._get_batch_fn(batch_size)
+            fn = self._get_batch_fn(batch_size, mesh=mesh)
+            variables = (
+                self._mesh_variables(mesh) if mesh is not None else self.variables
+            )
             for start in range(0, len(loaded), batch_size):
                 chunk = loaded[start : start + batch_size]
                 resized = np.stack(
@@ -470,8 +505,8 @@ class EAST:
                     )
                     resized = np.concatenate([resized, pad], axis=0)
                 cands_d = fn(
-                    self.variables,
-                    jnp.asarray(resized),
+                    variables,
+                    resized,
                     jnp.float32(self.score_thresh),
                 )
                 pending.append((chunk, n, cands_d, start))

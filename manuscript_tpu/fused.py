@@ -90,6 +90,7 @@ class FusedOCR:
         capacity_buckets: tuple = (32, 64, 128, 256),
         capacity_headroom: int = 8,
         crop_scale: int = 1,
+        mesh=None,
     ):
         """``max_words``: word-capacity slots per page. The TRBA encoder
         runs on EVERY slot (~15 GFLOPs each), so unused slots are pure
@@ -127,7 +128,18 @@ class FusedOCR:
         crops, _pipeline.py:204-221). ``crop_scale=k`` additionally uploads
         a (k·target_size)² copy of the page and gathers crops from it —
         fixed shape (so no per-page recompiles), k× less downsampling, at
-        the cost of a k²× larger upload per page."""
+        the cost of a k²× larger upload per page.
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` (parallel.mesh.make_mesh)
+        for multi-chip inference. The batched page program's leading page
+        axis is sharded over the mesh's 'data' axis and the model weights
+        are replicated once at construction, so ``predict_many`` /
+        ``process_batch`` throughput scales with chip count — pages are
+        embarrassingly parallel, XLA partitions the vmapped program with no
+        collectives on the forward path (SURVEY.md §7 step 9).
+        ``batch_pages`` is rounded up to a multiple of the data-axis size so
+        every device computes the same page count per dispatch; single-page
+        ``predict`` and capacity calibration stay on the default device."""
         if mode not in ("greedy", "beam"):
             raise ValueError(f"Unknown mode: {mode}")
         if transport not in ("raw", "delta"):
@@ -153,6 +165,18 @@ class FusedOCR:
         if not (isinstance(crop_scale, int) and crop_scale >= 1):
             raise ValueError(f"crop_scale must be an int >= 1: {crop_scale!r}")
         self.crop_scale = crop_scale
+        self.mesh = mesh
+        self._det_vars_mesh = self._rec_vars_mesh = None
+        if mesh is not None:
+            from .parallel.mesh import DATA_AXIS, replicate
+
+            n_data = mesh.shape[DATA_AXIS]
+            # same page count per device per dispatch
+            self.batch_pages = max(
+                n_data, -(-self.batch_pages // n_data) * n_data
+            )
+            self._det_vars_mesh = replicate(detector.variables, mesh)
+            self._rec_vars_mesh = replicate(recognizer.variables, mesh)
         self.last_dropped = 0
         # pre-retry drop count of the most recent overflow (the transparent
         # re-run leaves last_dropped == 0)
@@ -502,16 +526,37 @@ class FusedOCR:
         """The page program vmapped over a leading page axis of size
         ``batch_pages``: one dispatch + ONE d2h round trip per B pages, and
         the latency-bound small-tensor stages (decode, NMS, postprocess)
-        amortize across the batch. Weights are broadcast (in_axes=None)."""
+        amortize across the batch. Weights are broadcast (in_axes=None).
+
+        With a ``mesh``, the page axis is sharded over the 'data' axis
+        (weights replicated): XLA partitions the whole vmapped program
+        page-parallel — multi-chip inference with zero forward-path
+        collectives."""
         if self._fn_batched is None:
+            has_hi = self.crop_scale > 1
             in_axes = (
                 (None, None, 0, 0, None, None, 0, 0)
-                if self.crop_scale > 1
+                if has_hi
                 else (None, None, 0, None, None, 0, 0)
             )
-            self._fn_batched = jax.jit(
-                jax.vmap(self._build_program(), in_axes=in_axes)
-            )
+            vf = jax.vmap(self._build_program(), in_axes=in_axes)
+            if self.mesh is None:
+                self._fn_batched = jax.jit(vf)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from .parallel.mesh import DATA_AXIS
+
+                rep = NamedSharding(self.mesh, P())
+                dat = NamedSharding(self.mesh, P(DATA_AXIS))
+                in_sh = (
+                    (rep, rep, dat, dat, rep, rep, dat, dat)
+                    if has_hi
+                    else (rep, rep, dat, rep, rep, dat, dat)
+                )
+                self._fn_batched = jax.jit(
+                    vf, in_shardings=in_sh, out_shardings=dat
+                )
         return self._fn_batched
 
     # ------------------------------------------------------------------
@@ -695,17 +740,23 @@ class FusedOCR:
             resized_hi = self._encode_stack(resized_hi)
         self._resolve_capacity(resized[0], sx[0], sy[0])
         hi = (
-            (jnp.asarray(np.stack(resized_hi)),) if self.crop_scale > 1 else ()
+            (np.stack(resized_hi),) if self.crop_scale > 1 else ()
+        )
+        # mesh path: uncommitted numpy inputs let jit place each page shard
+        # directly on its device per in_shardings (no staging copy)
+        dvars = (
+            (self._det_vars_mesh, self._rec_vars_mesh)
+            if self.mesh is not None
+            else (det.variables, self.recognizer.variables)
         )
         outs = self.program_batched(
-            det.variables,
-            self.recognizer.variables,
-            jnp.asarray(np.stack(resized)),
+            *dvars,
+            np.stack(resized),
             *hi,
             jnp.float32(det.score_thresh),
             jnp.float32(det.iou_threshold),
-            jnp.asarray(sx, jnp.float32),
-            jnp.asarray(sy, jnp.float32),
+            np.asarray(sx, np.float32),
+            np.asarray(sy, np.float32),
         )
         return imgs, outs, (self._built_nb, self._built_nw)
 

@@ -43,6 +43,7 @@ class Pipeline:
         max_words: Union[int, str] = "auto",
         batch_pages: int = 4,
         crop_scale: int = 1,
+        mesh=None,
     ):
         """OCR pipeline over a pluggable detector + recognizer.
 
@@ -62,7 +63,10 @@ class Pipeline:
         is how many pages ``process_batch`` rides through one vmapped
         device program (one upload/dispatch/fetch per chunk);
         ``crop_scale=k`` uploads a (k·target)² page copy so fused crops
-        sample k× finer than detector resolution (fused.FusedOCR).
+        sample k× finer than detector resolution (fused.FusedOCR);
+        ``mesh`` (a ``jax.sharding.Mesh``, see parallel.mesh.make_mesh)
+        shards the fused multi-page program's page axis over the mesh's
+        'data' axis — multi-chip inference for ``process_batch``/serving.
         """
         if detector is None:
             from .detectors import EAST
@@ -92,12 +96,18 @@ class Pipeline:
                     min_text_size=min_text_size,
                     batch_pages=batch_pages,
                     crop_scale=crop_scale,
+                    mesh=mesh,
                 )
             elif fused is True:
                 raise ValueError(
                     "fused=True needs native EAST + TRBA components "
                     "(duck-typed detector/recognizer can't be fused)."
                 )
+        # chunk size the serving layer should coalesce to (FusedOCR may
+        # round it up to a multiple of the mesh's data-axis size)
+        self.batch_pages = (
+            self._fused.batch_pages if self._fused is not None else batch_pages
+        )
 
     @staticmethod
     def _fusable(detector, recognizer) -> bool:

@@ -47,6 +47,9 @@ class _Job:
     done: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[str] = None
+    # set by the HTTP thread when its request timed out/disconnected: the
+    # batcher drops the job instead of spending device time on it
+    abandoned: bool = False
 
 
 class _Metrics:
@@ -55,6 +58,8 @@ class _Metrics:
         self.requests_total = 0
         self.pages_total = 0
         self.errors_total = 0
+        self.rejected_total = 0
+        self.timeouts_total = 0
         self.batch_count = 0
         self.busy_seconds = 0.0
         self.started = time.time()
@@ -69,6 +74,10 @@ class _Metrics:
                 f"ocr_pages_total {self.pages_total}",
                 "# TYPE ocr_errors_total counter",
                 f"ocr_errors_total {self.errors_total}",
+                "# TYPE ocr_rejected_total counter",
+                f"ocr_rejected_total {self.rejected_total}",
+                "# TYPE ocr_timeouts_total counter",
+                f"ocr_timeouts_total {self.timeouts_total}",
                 "# TYPE ocr_batches_total counter",
                 f"ocr_batches_total {self.batch_count}",
                 "# TYPE ocr_device_busy_seconds counter",
@@ -87,6 +96,13 @@ class OCRServer:
 
     ``batch_wait_ms`` bounds the extra latency a lone request pays waiting
     for batch-mates; a full batch dispatches immediately.
+
+    ``max_queue`` bounds the admission queue: when it is full new requests
+    are rejected with 429 (+Retry-After) instead of growing an unbounded
+    backlog — backpressure the client can act on. ``request_timeout_s``
+    bounds how long a request waits end-to-end; on expiry the client gets
+    504 and the job is abandoned (the batcher skips it if it is still
+    queued, so no device time is spent on a caller that already left).
     """
 
     def __init__(
@@ -97,6 +113,8 @@ class OCRServer:
         batch_pages: Optional[int] = None,
         batch_wait_ms: float = 25.0,
         max_body_bytes: int = 64 * 1024 * 1024,
+        max_queue: int = 64,
+        request_timeout_s: float = 120.0,
     ):
         self.pipeline = pipeline
         self.batch_pages = int(
@@ -106,8 +124,9 @@ class OCRServer:
         )
         self.batch_wait_s = batch_wait_ms / 1e3
         self.max_body_bytes = max_body_bytes
+        self.request_timeout_s = request_timeout_s
         self.metrics = _Metrics()
-        self._queue: "queue.Queue[_Job]" = queue.Queue()
+        self._queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._worker = threading.Thread(
             target=self._drain_loop, name="ocr-batcher", daemon=True
@@ -165,8 +184,30 @@ class OCRServer:
                     self._send_json(400, {"error": f"bad image: {exc}"})
                     return
                 t0 = time.time()
-                job = server.submit(img)
-                job.done.wait()
+                try:
+                    job = server.submit(img)
+                except queue.Full:
+                    with server.metrics.lock:
+                        server.metrics.rejected_total += 1
+                    self.send_response(429)
+                    self.send_header("Retry-After", "1")
+                    body429 = json.dumps(
+                        {"error": "queue full, retry later"}
+                    ).encode("utf-8")
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body429)))
+                    self.end_headers()
+                    self.wfile.write(body429)
+                    return
+                if not job.done.wait(server.request_timeout_s):
+                    job.abandoned = True
+                    with server.metrics.lock:
+                        server.metrics.timeouts_total += 1
+                    self._send_json(
+                        504,
+                        {"error": "request timed out in queue/inference"},
+                    )
+                    return
                 if job.error is not None:
                     server._count_error()
                     self._send_json(500, {"error": job.error})
@@ -208,10 +249,12 @@ class OCRServer:
         }
 
     def submit(self, image: np.ndarray) -> _Job:
+        """Enqueue one page. Raises ``queue.Full`` when the bounded
+        admission queue is at capacity (the HTTP layer maps it to 429)."""
         job = _Job(image=image)
+        self._queue.put_nowait(job)
         with self.metrics.lock:
             self.metrics.requests_total += 1
-        self._queue.put(job)
         return job
 
     def _count_error(self):
@@ -238,7 +281,10 @@ class OCRServer:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run_batch(batch)
+            # callers that already timed out get no device time
+            batch = [j for j in batch if not j.abandoned]
+            if batch:
+                self._run_batch(batch)
 
     def _run_batch(self, batch):
         t0 = time.time()

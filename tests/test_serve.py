@@ -130,6 +130,112 @@ def test_concurrent_requests_coalesce(server):
     assert max(pipe.calls) > 1  # at least one true batch via process_batch
 
 
+def test_eight_concurrent_requests_coalesce_into_batches(server):
+    """≥8 concurrent requests must ride the batched program (micro-batch
+    coalescing), not 8 single-page dispatches (VERDICT r3 task 8)."""
+    srv, pipe = server
+    pipe.delay_s = 0.06
+    png = make_png()
+    results = []
+    lock = threading.Lock()
+
+    def hit():
+        r = _post(srv.port, png)
+        with lock:
+            results.append(r)
+
+    threads = [threading.Thread(target=hit) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(s == 200 for s, _ in results)
+    assert sum(pipe.calls) == 8  # every page served exactly once
+    # batched dispatches, not 8 singles: strictly fewer calls than requests
+    # and at least one call that was a true process_batch batch
+    assert len(pipe.calls) <= 5, pipe.calls
+    assert max(pipe.calls) > 1, pipe.calls
+
+
+def test_bounded_queue_backpressure_429():
+    """When the admission queue is full, new requests get 429 with
+    Retry-After instead of an unbounded backlog."""
+    pipe = StubPipeline(delay_s=0.5)
+    srv = OCRServer(
+        pipe, host="127.0.0.1", port=0, batch_wait_ms=1.0,
+        batch_pages=1, max_queue=1,
+    )
+    srv.start_background()
+    try:
+        png = make_png()
+        results = []
+        lock = threading.Lock()
+
+        def hit():
+            r = _post(srv.port, png)
+            with lock:
+                results.append(r)
+
+        threads = [threading.Thread(target=hit) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        codes = sorted(s for s, _ in results)
+        assert 429 in codes, codes  # backpressure engaged
+        assert 200 in codes, codes  # and the served path still works
+        _, metrics = _get(srv.port, "/metrics")
+        line = next(
+            ln for ln in metrics.splitlines()
+            if ln.startswith("ocr_rejected_total")
+        )
+        assert int(line.split()[1]) == codes.count(429)
+    finally:
+        srv.shutdown()
+
+
+def test_request_timeout_504_and_abandoned_job_skipped():
+    """A request that outlives request_timeout_s gets 504; its queued job
+    is dropped by the batcher (no device time for a caller that left)."""
+    pipe = StubPipeline(delay_s=0.5)
+    srv = OCRServer(
+        pipe, host="127.0.0.1", port=0, batch_wait_ms=1.0,
+        batch_pages=1, request_timeout_s=0.2,
+    )
+    srv.start_background()
+    try:
+        png = make_png()
+        results = []
+        lock = threading.Lock()
+
+        def hit():
+            r = _post(srv.port, png)
+            with lock:
+                results.append(r)
+
+        # request 1 occupies the worker for 0.5s and its caller gives up at
+        # 0.2s (504, but the inference was already running); request 2 times
+        # out while still QUEUED and must never reach the pipeline
+        threads = [threading.Thread(target=hit) for _ in range(2)]
+        threads[0].start()
+        time.sleep(0.05)
+        threads[1].start()
+        for t in threads:
+            t.join()
+        codes = sorted(s for s, _ in results)
+        assert codes == [504, 504], codes
+        time.sleep(0.6)  # batcher drains; abandoned queued job is skipped
+        assert sum(pipe.calls) == 1, pipe.calls
+        _, metrics = _get(srv.port, "/metrics")
+        assert "ocr_timeouts_total 2" in metrics
+        # worker is alive and fast requests succeed after the timeouts
+        pipe.delay_s = 0.0
+        status, _ = _post(srv.port, png)
+        assert status == 200
+    finally:
+        srv.shutdown()
+
+
 def test_bad_image_is_400_and_counted(server):
     srv, _ = server
     status, body = _post(srv.port, b"not an image")
@@ -184,9 +290,13 @@ def test_cli_serve_parser_wires_defaults(monkeypatch):
     captured = {}
 
     class FakeServer:
-        def __init__(self, pipe, host, port, batch_wait_ms):
+        def __init__(
+            self, pipe, host, port, batch_wait_ms,
+            max_queue=64, request_timeout_s=120.0,
+        ):
             captured.update(
-                pipe=pipe, host=host, port=port, wait=batch_wait_ms
+                pipe=pipe, host=host, port=port, wait=batch_wait_ms,
+                max_queue=max_queue, request_timeout_s=request_timeout_s,
             )
             self.port = port
             self.batch_pages = getattr(pipe, "batch_pages", 4)
