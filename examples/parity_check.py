@@ -23,6 +23,19 @@ To diff against the PyTorch reference itself, generate the fixture from the
 reference instead: run ``Pipeline().predict`` there, save the same JSON
 schema ({"words": [{"polygon": [[x,y]*4], "text": str}]}), and point
 ``--fixture`` at it.
+
+The fixture/pinning machinery itself is exercised END-TO-END in this repo
+against the committed synthetic-trained micro models (the released weights
+stay unreachable, VERDICT r3 #6):
+
+    # fixture from the quality models on a deterministic synthetic page
+    python examples/parity_check.py --quality --synthetic 9100 --write-fixture
+    # re-run + diff (tests/test_quality_gate.py runs this in the slow tier)
+    python examples/parity_check.py --quality --synthetic 9100
+
+Generate and check the synthetic fixture on the SAME backend (the committed
+one is CPU-generated, matching the test environment): greedy decode is
+stable there, while CPU↔TPU can differ in low-margin argmaxes.
 """
 
 import argparse
@@ -61,6 +74,15 @@ def axis_iou(p1, p2):
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--image", help="page image to OCR")
+    ap.add_argument(
+        "--synthetic", type=int, metavar="SEED",
+        help="use a deterministic utils.synthetic page instead of --image",
+    )
+    ap.add_argument(
+        "--quality", action="store_true",
+        help="use the committed synthetic-trained micro models "
+             "(manuscript_tpu/configs/quality) instead of released weights",
+    )
     ap.add_argument("--fixture", default=str(DEFAULT_FIXTURE))
     ap.add_argument("--write-fixture", action="store_true")
     ap.add_argument("--pin-hashes", action="store_true",
@@ -85,18 +107,35 @@ def main():
         if not args.image:
             return 0
 
-    if not args.image:
-        ap.error("--image is required (unless only pinning hashes)")
+    if not args.image and args.synthetic is None:
+        ap.error("--image or --synthetic is required (unless only pinning hashes)")
 
     from manuscript_tpu import Pipeline
 
-    pipe = Pipeline()  # default EAST + TRBA with released weights
-    page = pipe.predict(args.image)
+    if args.quality:
+        from manuscript_tpu.utils.quality import load_quality_models
+
+        east, trba = load_quality_models()
+        pipe = Pipeline(
+            detector=east, recognizer=trba, mode="greedy", max_words=64
+        )
+    else:
+        pipe = Pipeline()  # default EAST + TRBA with released weights
+
+    if args.synthetic is not None:
+        from manuscript_tpu.utils.synthetic import render_page
+
+        rng = np.random.default_rng(args.synthetic)
+        image, _ = render_page(rng)
+        source = f"synthetic:{args.synthetic}"
+    else:
+        image, source = args.image, str(args.image)
+    page = pipe.predict(image)
     words = page_words(page)
 
     if args.write_fixture:
         Path(args.fixture).write_text(
-            json.dumps({"image": str(args.image), "words": words},
+            json.dumps({"image": source, "words": words},
                        ensure_ascii=False, indent=1)
         )
         print(f"wrote {len(words)} words to {args.fixture}")

@@ -59,22 +59,28 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class MergeDecoder(nn.Module):
-    """Top-down feature merging: res4 → … → res1, halving channels."""
+    """Top-down feature merging: res4 → … → res1, halving channels.
+
+    ``width_mult`` scales the channel plan (512/256/128/64→32) for narrow
+    backbones ("resnet50-micro") so the decoder stays proportionate.
+    """
 
     dtype: Any = jnp.float32
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], train: bool = False):
-        h4 = DecoderBlock(512, 512, dtype=self.dtype, name="block1")(
+        c = lambda n: max(8, int(n * self.width_mult))
+        h4 = DecoderBlock(c(512), c(512), dtype=self.dtype, name="block1")(
             feats["res4"], train=train
         )
-        h3 = DecoderBlock(256, 256, dtype=self.dtype, name="block2")(
+        h3 = DecoderBlock(c(256), c(256), dtype=self.dtype, name="block2")(
             jnp.concatenate([_upsample2x(h4), feats["res3"]], axis=-1), train=train
         )
-        h2 = DecoderBlock(128, 128, dtype=self.dtype, name="block3")(
+        h2 = DecoderBlock(c(128), c(128), dtype=self.dtype, name="block3")(
             jnp.concatenate([_upsample2x(h3), feats["res2"]], axis=-1), train=train
         )
-        h1 = DecoderBlock(64, 32, dtype=self.dtype, name="block4")(
+        h1 = DecoderBlock(c(64), c(32), dtype=self.dtype, name="block4")(
             jnp.concatenate([_upsample2x(h2), feats["res1"]], axis=-1), train=train
         )
         return h1
@@ -97,7 +103,11 @@ class EASTModel(nn.Module):
         feats = ResNetFeatures(backbone=self.backbone, dtype=self.dtype, name="backbone")(
             x, train=train
         )
-        merged = MergeDecoder(dtype=self.dtype, name="decoder")(feats, train=train)
+        # narrow backbones get a proportionally narrow decoder
+        mult = 0.25 if self.backbone.endswith("-micro") else 1.0
+        merged = MergeDecoder(dtype=self.dtype, width_mult=mult, name="decoder")(
+            feats, train=train
+        )
         score = nn.Conv(1, (1, 1), dtype=self.dtype, name="score_head")(merged)
         geometry = nn.Conv(8, (1, 1), dtype=self.dtype, name="geo_head")(merged)
         # decode path wants f32 regardless of backbone compute dtype

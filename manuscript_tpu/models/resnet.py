@@ -26,7 +26,14 @@ STAGE_BLOCKS = {
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet50-tiny": (1, 1, 1, 1),
+    # "-micro" additionally narrows every stage 4× (stem 16, stage outputs
+    # 64/128/256/512): a ~1M-param detector backbone whose checkpoint is
+    # small enough to COMMIT — the synthetic-trained quality-gate fixture
+    # (bench.py quality section) and edge/CI deployments ride it.
+    "resnet50-micro": (1, 1, 1, 1),
 }
+
+STEM_WIDTH = {"resnet50-micro": 16}  # default 64 (torchvision plan)
 
 
 class Bottleneck(nn.Module):
@@ -90,9 +97,10 @@ class ResNetFeatures(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         blocks = STAGE_BLOCKS[self.backbone]
+        width = STEM_WIDTH.get(self.backbone, 64)
 
         x = nn.Conv(
-            64,
+            width,
             (7, 7),
             strides=(2, 2),
             padding=[(3, 3), (3, 3)],
@@ -112,7 +120,7 @@ class ResNetFeatures(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         feats = {}
-        planes = 64
+        planes = width
         for stage_idx, n_blocks in enumerate(blocks):
             stride = 1 if stage_idx == 0 else 2
             for b in range(n_blocks):

@@ -107,7 +107,14 @@ class SEBasicBlock(nn.Module):
 STAGE_PLANS = {
     "full": ((256, 1, 2), (256, 2, 1), (512, 5, 2), (512, 3, 1)),
     "tiny": ((256, 1, 2), (256, 1, 1), (512, 1, 2), (512, 1, 1)),
+    # "micro" narrows every stage 4× (and the stem 2×) on top of the tiny
+    # depth: a ~0.5M-param recognizer CNN whose trained checkpoint is small
+    # enough to COMMIT for the synthetic quality-gate fixture; pair with
+    # out_channels=128.
+    "micro": ((64, 1, 2), (64, 1, 1), (128, 1, 2), (128, 1, 1)),
 }
+
+STEM_WIDTHS = {"micro": (32, 64)}  # default (64, 128) (reference plan)
 
 
 class SEResNet31(nn.Module):
@@ -119,14 +126,15 @@ class SEResNet31(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        stem1, stem2 = STEM_WIDTHS.get(self.stage_plan, (64, 128))
         # stem
         x = nn.Conv(
-            64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            stem1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, name="stem_conv1",
         )(x)
         x = nn.relu(_bn(train, self.dtype, "stem_bn1")(x))
         x = nn.Conv(
-            128, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            stem2, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
             dtype=self.dtype, name="stem_conv2",
         )(x)
         x = nn.relu(_bn(train, self.dtype, "stem_bn2")(x))
@@ -134,7 +142,7 @@ class SEResNet31(nn.Module):
 
         # residual stages: (planes, blocks, stride)
         plan = STAGE_PLANS[self.stage_plan]
-        in_planes = 128
+        in_planes = stem2
         for stage_idx, (planes, blocks, stride) in enumerate(plan, start=1):
             for b in range(blocks):
                 need_down = b == 0 and (stride != 1 or in_planes != planes)

@@ -40,9 +40,12 @@ class TRBAModel(nn.Module):
     use_pallas: bool = False  # fused Pallas greedy decode step (TPU)
     use_tps: bool = False  # TPS rectification (extension; off for parity)
     tps_fiducials: int = 20
-    # "full" (reference 11-block SEResNet31) or "tiny" (1 block/stage, same
-    # channels/strides) — the latter for compile-budgeted dryruns/CI
+    # "full" (reference 11-block SEResNet31), "tiny" (1 block/stage, same
+    # channels/strides — compile-budgeted dryruns/CI), or "micro" (tiny
+    # depth, 4×-narrow channels — committable quality-gate checkpoints)
     cnn_stage_plan: str = "full"
+    # CNN output channels; None → 512 ("full"/"tiny" plan) or 128 ("micro")
+    cnn_out_channels: Optional[int] = None
 
     def setup(self):
         if self.use_tps:
@@ -51,8 +54,11 @@ class TRBAModel(nn.Module):
             self.tps = TPSTransformer(
                 num_fiducials=self.tps_fiducials, dtype=self.dtype
             )
+        out_ch = self.cnn_out_channels
+        if out_ch is None:
+            out_ch = 128 if self.cnn_stage_plan == "micro" else 512
         self.cnn = SEResNet31(
-            out_channels=512,
+            out_channels=out_ch,
             dropblock_p=self.dropblock_p,
             dtype=self.dtype,
             stage_plan=self.cnn_stage_plan,

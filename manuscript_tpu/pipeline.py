@@ -79,6 +79,10 @@ class Pipeline:
         self.detector = detector
         self.recognizer = recognizer
         self.min_text_size = min_text_size
+        self._decode_kwargs = dict(
+            mode=mode, beam_size=beam_size, alpha=alpha,
+            temperature=temperature,
+        )
 
         self._fused = None
         if fused is True or fused == "auto":
@@ -108,6 +112,16 @@ class Pipeline:
         self.batch_pages = (
             self._fused.batch_pages if self._fused is not None else batch_pages
         )
+
+    def _call_recognizer(self, word_images):
+        """Recognize crops honoring the pipeline's decode config when the
+        recognizer supports it (native TRBA); duck-typed recognizers with a
+        bare ``predict(images)`` signature still work (reference contract,
+        docs/PIPELINE_API.md)."""
+        try:
+            return self.recognizer.predict(word_images, **self._decode_kwargs)
+        except TypeError:
+            return self.recognizer.predict(word_images)
 
     @staticmethod
     def _fusable(detector, recognizer) -> bool:
@@ -186,7 +200,7 @@ class Pipeline:
         # ---- recognition ----
         if word_images:
             t0 = time.time()
-            recognition_results = self.recognizer.predict(word_images)
+            recognition_results = self._call_recognizer(word_images)
             if profile:
                 print(f"Recognition: {time.time() - t0:.3f}s")
 
@@ -282,7 +296,7 @@ class Pipeline:
                                 word_images.append(region)
 
             if word_images:
-                recognition_results = self.recognizer.predict(word_images)
+                recognition_results = self._call_recognizer(word_images)
                 for word, result in zip(all_words, recognition_results):
                     if isinstance(result, dict):
                         word.text = result.get("text", "")

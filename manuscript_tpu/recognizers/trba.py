@@ -73,7 +73,7 @@ class TRBA:
         dtype: Any = jnp.float32,
         use_pallas: bool = False,
         allow_random_init: Optional[bool] = None,
-        cnn_stage_plan: str = "full",
+        cnn_stage_plan: Optional[str] = None,
         **kwargs: Any,
     ):
         """Text recognizer.
@@ -122,10 +122,26 @@ class TRBA:
         if config_path is not None and not os.path.exists(config_path):
             raise FileNotFoundError(f"Config file not found: {config_path}")
 
+        # native trainer checkpoints are self-describing: they embed the
+        # charset (itos) and the training config (trba_train.save_ckpt), so
+        # a ckpt from TRBA.train loads with zero sidecar files. Explicit
+        # config/charset files still win.
+        self._ckpt_raw = None
+        if model_path is not None and str(model_path).endswith(".msgpack"):
+            raw = flax.serialization.msgpack_restore(
+                Path(model_path).read_bytes()
+            )
+            if isinstance(raw, dict) and "params" in raw:
+                self._ckpt_raw = raw
+
         config = {}
         if config_path is not None:
             with open(config_path, "r", encoding="utf-8") as f:
                 config = json.load(f)
+        elif self._ckpt_raw is not None and isinstance(
+            self._ckpt_raw.get("config"), dict
+        ):
+            config = self._ckpt_raw["config"]
 
         self.model_path = model_path
         self.config_path = config_path
@@ -133,6 +149,11 @@ class TRBA:
         self.hidden_size = config.get("hidden_size", 256)
         self.img_h = config.get("img_h", 64)
         self.img_w = config.get("img_w", 256)
+        # explicit kwarg wins; else the checkpoint's config (so committed
+        # micro checkpoints are self-describing); else the reference plan
+        if cnn_stage_plan is None:
+            cnn_stage_plan = config.get("cnn_stage_plan", "full")
+        self.cnn_stage_plan = cnn_stage_plan
         self.dtype = dtype
         self.device = device  # API-compat; JAX owns placement
 
@@ -140,6 +161,15 @@ class TRBA:
             if not os.path.exists(charset_path):
                 raise FileNotFoundError(f"Charset file not found: {charset_path}")
             self.itos, self.stoi = load_charset(charset_path)
+        elif self._ckpt_raw is not None and self._ckpt_raw.get("itos") is not None:
+            # adopt the checkpoint's embedded charset (trainer ckpts).
+            # flax serializes lists as {"0": ..., "1": ...} string-index
+            # dicts — restore positional order by the int key.
+            emb = self._ckpt_raw["itos"]
+            if isinstance(emb, dict):
+                emb = [emb[k] for k in sorted(emb, key=int)]
+            self.itos = [str(s) for s in emb]
+            self.stoi = {s: i for i, s in enumerate(self.itos)}
         else:
             self.itos = default_charset()
             self.stoi = {s: i for i, s in enumerate(self.itos)}
@@ -159,9 +189,9 @@ class TRBA:
             blank_id=self.blank_id,
             dtype=dtype,
             use_pallas=use_pallas,
-            # "tiny" = 1 SE block per stage, same channels/strides — for
-            # compile-budgeted CI/dryruns (models/seresnet31.STAGE_PLANS)
-            cnn_stage_plan=cnn_stage_plan,
+            # "tiny"/"micro" = depth/width-reduced SEResNet31 variants for
+            # CI/dryruns and committable checkpoints (seresnet31.STAGE_PLANS)
+            cnn_stage_plan=self.cnn_stage_plan,
         )
         from ..parallel.mesh import canonicalize_layout
 
@@ -219,14 +249,31 @@ class TRBA:
 
             state = load_torch_state_dict(self.model_path)
             return merge_converted(init_vars, convert_trba(state))
+        if self._ckpt_raw is not None:
+            # trainer checkpoints carry extra keys (itos, config, possibly
+            # opt_state) — restore only the model variables
+            state = {k: v for k, v in self._ckpt_raw.items() if k in init_vars}
+            return flax.serialization.from_state_dict(init_vars, state)
         with open(self.model_path, "rb") as f:
             return flax.serialization.from_bytes(init_vars, f.read())
 
     def save(self, path: str) -> None:
-        """Serialize variables to a native .msgpack checkpoint."""
+        """Serialize a self-describing native .msgpack checkpoint: model
+        variables plus the charset and model config (same layout as the
+        trainer's checkpoints), so ``TRBA(model_path=...)`` needs no
+        sidecar files."""
         Path(path).parent.mkdir(parents=True, exist_ok=True)
+        payload = dict(self.variables)
+        payload["itos"] = list(self.itos)
+        payload["config"] = {
+            "max_len": self.max_length,
+            "hidden_size": self.hidden_size,
+            "img_h": self.img_h,
+            "img_w": self.img_w,
+            "cnn_stage_plan": self.cnn_stage_plan,
+        }
         with open(path, "wb") as f:
-            f.write(flax.serialization.to_bytes(self.variables))
+            f.write(flax.serialization.to_bytes(payload))
 
     # ------------------------------------------------------------------
 

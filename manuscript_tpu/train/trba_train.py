@@ -69,6 +69,7 @@ class Config:
         hidden_size=256,
         img_h=64,
         img_w=256,
+        cnn_stage_plan="full",  # full | tiny | micro (seresnet31.STAGE_PLANS)
         batch_size=64,
         epochs=100,
         lr=1e-3,
@@ -354,7 +355,7 @@ def train(
     model = TRBAModel(
         num_classes=len(itos), hidden_size=cfg.hidden_size,
         sos_id=sos_id, eos_id=eos_id, pad_id=pad_id, blank_id=blank_id,
-        dtype=dtype,
+        dtype=dtype, cnn_stage_plan=cfg.cnn_stage_plan,
     )
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init(
