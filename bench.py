@@ -215,14 +215,27 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass
+        # smoke validates harness logic, not kernel speed: compile at opt-0
+        # so the self-test fits a one-core host (same rationale and
+        # numerics-unchanged evidence as tests/conftest.py)
+        jax.config.update("jax_disable_most_optimizations", True)
     target = 128 if smoke else 1280
     n_pages = 4 if smoke else 24
 
     # bf16 compute throughout the FLOP-heavy paths; the TRBA decoder's
     # 26-step recurrence stays f32 internally (models/trba.decoder_dtype)
     # and greedy tokens are bit-equal to the all-f32 model.
-    east = EAST(target_size=target, max_candidates=4096, dtype=jnp.bfloat16)
-    trba = TRBA(dtype=jnp.bfloat16)
+    # smoke also swaps in the depth-reduced backbones: full resnet50 /
+    # seresnet31 compiles alone blow a one-core smoke budget (opt-0
+    # multiplies LLVM kernel count — BASELINE.md compile findings), and the
+    # harness logic under test is model-independent
+    east = EAST(
+        target_size=target,
+        max_candidates=256 if smoke else 4096,
+        dtype=jnp.bfloat16,
+        **({"backbone": "resnet50-tiny"} if smoke else {}),
+    )
+    trba = TRBA(dtype=jnp.bfloat16, **({"cnn_stage_plan": "tiny"} if smoke else {}))
     pages = [
         build_page(i, h=256, w=192) if smoke else build_page(i)
         for i in range(6)

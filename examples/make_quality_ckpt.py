@@ -91,7 +91,7 @@ def main():
         model_name="east_micro",
         backbone="resnet50-micro",
         target_size=512,
-        epochs=240,
+        epochs=600,
         batch_size=8,
         lr=1e-3,
         # RAdam+Lookahead, not SAM-SGD: the micro model must CONVERGE in
@@ -101,7 +101,7 @@ def main():
         use_sam=False,
         use_multiscale=False,
         freeze_first=False,
-        early_stop=40,
+        early_stop=80,
         seed=0,
     )
     print(

@@ -9,49 +9,15 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
-from PIL import Image, ImageDraw, ImageFont
-
-WORDS = [
-    "the", "old", "manuscript", "text", "word", "page", "line", "quill",
-    "ink", "scribe", "letter", "codex", "folio", "margin", "glyph", "seal",
-]
-
-
-def render_word(word: str, rng: np.random.Generator) -> np.ndarray:
-    try:
-        font = ImageFont.load_default(size=22)
-    except TypeError:  # older PIL
-        font = ImageFont.load_default()
-    w = 12 * len(word) + 16
-    img = Image.new("RGB", (w, 32), (255, 255, 255))
-    draw = ImageDraw.Draw(img)
-    draw.text((6, 4), word, fill=(0, 0, 0), font=font)
-    arr = np.array(img)
-    noise = rng.normal(0, 6, arr.shape)
-    return np.clip(arr.astype(np.float32) + noise, 0, 255).astype(np.uint8)
-
-
-def build_dataset(root: Path, n: int, seed: int = 0):
-    img_dir = root / "images"
-    img_dir.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    rows = []
-    for i in range(n):
-        word = WORDS[int(rng.integers(len(WORDS)))]
-        name = f"w{i:05d}.png"
-        Image.fromarray(render_word(word, rng)).save(img_dir / name)
-        rows.append(f"{name}\t{word}")
-    tsv = root / "labels.tsv"
-    tsv.write_text("\n".join(rows))
-    return str(tsv), str(img_dir)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
     from manuscript_tpu.recognizers import TRBA
+    from manuscript_tpu.utils.synthetic import build_word_dataset
 
     workdir = Path(sys.argv[1] if len(sys.argv) > 1 else "./synthetic_run")
-    tsv, img_dir = build_dataset(workdir / "data", n=600)
+    tsv, img_dir = build_word_dataset(workdir / "data", n=600)
 
     t0 = time.time()
     out = TRBA.train(

@@ -147,6 +147,7 @@ class EASTDataset:
         for ann in data["annotations"]:
             self.annots.setdefault(ann["image_id"], []).append(ann)
         self._drop_invalid()
+        self._map_cache: Dict[int, tuple] = {}
 
     def _drop_invalid(self) -> None:
         bad = []
@@ -207,10 +208,19 @@ class EASTDataset:
         if self.augment:
             img = color_jitter(img, self.rng)
 
-        quads = self.quads_for(idx)
-        score, geo = rasterize_quad_maps(
-            quads, self.target_size, self.score_geo_scale
-        )
+        # the label maps depend only on idx (quads and target size are
+        # fixed; augmentation is photometric) — rasterizing them per epoch
+        # made small-dataset training host-bound on one core, so they are
+        # cached after the first epoch (~0.6 MB per 512² sample)
+        cached = self._map_cache.get(idx)
+        if cached is None:
+            quads = self.quads_for(idx)
+            score, geo = rasterize_quad_maps(
+                quads, self.target_size, self.score_geo_scale
+            )
+            cached = (score, geo, quads)
+            self._map_cache[idx] = cached
+        score, geo, quads = cached
         return img, score, geo, quads
 
 

@@ -198,3 +198,69 @@ class TestOCRDataset:
         ).save(d / "IMG.PNG")
         idx = build_file_index(str(tmp_path))
         assert "img.png" in idx
+
+
+class TestDeviceDataset:
+    """HBM-resident dataset path (east_train.DeviceDataset): gather parity
+    with the host loader and data-axis sharding of the gathered batch."""
+
+    def _tiny_ds(self, tmp_path, rng):
+        img_dir = tmp_path / "dimgs"
+        img_dir.mkdir()
+        images, anns = [], []
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            ).save(img_dir / f"{i}.png")
+            images.append(
+                {"id": i, "file_name": f"{i}.png", "width": 64, "height": 64}
+            )
+            anns.append(
+                {"id": i + 1, "image_id": i,
+                 "segmentation": [[10, 10, 40, 10, 40, 30, 10, 30]]}
+            )
+        ann_file = tmp_path / "dann.json"
+        ann_file.write_text(
+            json.dumps({"images": images, "annotations": anns})
+        )
+        return EASTDataset(img_dir, ann_file, target_size=64, augment=False)
+
+    def test_gather_parity_and_sharding(self, tmp_path, rng):
+        import jax
+
+        from manuscript_tpu.parallel.mesh import make_mesh
+        from manuscript_tpu.train.east_train import DeviceDataset
+
+        ds = self._tiny_ds(tmp_path, rng)
+        mesh = make_mesh(n_devices=2)
+        dev = DeviceDataset(ds, mesh, augment=False)
+        idx = np.array([2, 0])
+        img, score, geo = dev.batch(idx)
+        for j, i in enumerate(idx):
+            h_img, h_score, h_geo = ds[int(i)][:3]
+            np.testing.assert_array_equal(np.asarray(img)[j], h_img)
+            np.testing.assert_allclose(np.asarray(score)[j], h_score)
+            np.testing.assert_allclose(np.asarray(geo)[j], h_geo)
+        # gathered batch is laid out over the data axis, one sample/device
+        assert len(img.sharding.device_set) == 2
+        assert img.addressable_shards[0].data.shape[0] == 1
+
+    def test_augment_and_multiscale_on_device(self, tmp_path, rng):
+        from manuscript_tpu.parallel.mesh import make_mesh
+        from manuscript_tpu.train.east_train import DeviceDataset
+
+        ds = self._tiny_ds(tmp_path, rng)
+        mesh = make_mesh(n_devices=2)
+        dev = DeviceDataset(ds, mesh, augment=True, seed=3)
+        # odd batch wraps to divide the mesh evenly
+        img, score, geo = dev.batch(np.array([0, 1, 2]), side=32, step=5)
+        assert img.shape == (4, 32, 32, 3)
+        assert score.shape[0] == 4 and geo.shape[0] == 4
+        assert img.dtype == np.uint8
+        # jittered gather differs from the raw pixels but stays in range
+        raw = ds[0][0]  # ds[i] yields (img, score, geo, quads)
+        a = np.asarray(img)[0]
+        assert a.shape != raw.shape or not np.array_equal(a, raw)
+        # distinct steps draw distinct jitter factors
+        img2 = dev.batch(np.array([0, 1, 2]), side=32, step=6)[0]
+        assert not np.array_equal(np.asarray(img), np.asarray(img2))

@@ -251,3 +251,36 @@ class TestConfig:
                    batch_size=8)
         assert c.lr == 0.5  # inherited from old experiment
         assert c.batch_size == 8  # override wins
+
+
+@pytest.mark.slow
+class TestEASTCacheDevice:
+    def test_cache_device_training(self, tmp_path):
+        """cache_device=True: HBM-resident dataset, device-side jitter,
+        ckpt_interval throttling — same trainer contract as the host path."""
+        from manuscript_tpu.train.east_train import train
+
+        img_dir, ann = _make_coco_dataset(tmp_path / "data")
+        out = train(
+            img_dir, ann, img_dir, ann,
+            experiment_root=str(tmp_path / "exp"),
+            model_name="tc",
+            backbone="resnet50-micro",
+            target_size=64,
+            epochs=3,
+            batch_size=2,
+            lr=1e-3,
+            use_sam=False,
+            use_multiscale=True,  # device-side jax.image.resize path
+            use_ema=False,
+            freeze_first=False,
+            log_tensorboard=False,
+            cache_device=True,
+            ckpt_interval=2,
+            n_devices=2,
+        )
+        assert np.isfinite(out["best_val_loss"])
+        assert len(out["history"]) == 3
+        ckpts = os.listdir(os.path.join(out["exp_dir"], "checkpoints"))
+        # epoch 2 hit the interval; epoch 3 == epochs (final) also writes
+        assert "last_state.msgpack" in ckpts and "best.msgpack" in ckpts
