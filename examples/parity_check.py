@@ -89,7 +89,22 @@ def main():
                     help="fetch the released artifacts and pin their sha256s "
                          "into manuscript_tpu/configs/release_hashes.json")
     ap.add_argument("--iou", type=float, default=0.7)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the committed synthetic fixture is "
+             "CPU-generated, matching the test environment; jax.config is "
+             "the reliable override — the axon TPU registration beats the "
+             "JAX_PLATFORMS env var on this host)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        # match tests/conftest.py exactly (numerics unchanged either way —
+        # see the conftest note; this keeps the environments identical)
+        jax.config.update("jax_disable_most_optimizations", True)
 
     if args.pin_hashes:
         from manuscript_tpu.utils.weights import (
