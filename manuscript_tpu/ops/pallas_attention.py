@@ -15,6 +15,13 @@ inert). Shapes (B ≤ a few hundred, T ≈ 32, H = 256) fit VMEM comfortably:
 
 Used by AttentionDecoder when ``use_pallas=True`` (off by default; parity
 is tested against the reference JAX step in interpret mode on CPU).
+
+STATUS (round 4, recorded in BASELINE.md "Pallas A/B verdict"): DEMOTED to
+an interpret-mode-tested reference implementation. On this environment's
+experimental `axon` tunnel backend the Mosaic compile+first-run never
+completed (>9.5 min, three attempts) while the XLA formulation compiled in
+28.5 s — `use_pallas` stays False until a backend where Mosaic works;
+`examples/pallas_bench.py` is the ready-made A/B to re-decide there.
 """
 
 from __future__ import annotations
