@@ -54,6 +54,7 @@ STAGES = [
     "decode_compact",
     "lanms",
     "postprocess_crop",
+    "trba_cnn",
     "trba_encode",
     "trba_decode",
 ]
@@ -133,8 +134,14 @@ def make_stage_fn(fused, depth: int, mode: str):
         if depth == 3:
             return crops.astype(jnp.float32).sum()
         xc = (crops.astype(trba_model.dtype) / 255.0 - 0.5) / 0.5
-        enc = trba_model.apply(trba_vars, xc, method="encode")
         if depth == 4:
+            # CNN + height-pool only (the encoder minus the BiLSTM stack)
+            feat = trba_model.apply(
+                trba_vars, xc, method=lambda m, x: jnp.mean(m.cnn(x), axis=1)
+            )
+            return feat.astype(jnp.float32).sum()
+        enc = trba_model.apply(trba_vars, xc, method="encode")
+        if depth == 5:
             return enc.astype(jnp.float32).sum()
         if mode == "greedy":
             logits, preds = trba_model.apply(
@@ -244,7 +251,7 @@ def main():
 
     # greedy decode tail as a comparison line (beam is the product default)
     if fused.mode != "greedy":
-        run = chained(make_stage_fn(fused, 5, "greedy"))
+        run = chained(make_stage_fn(fused, 6, "greedy"))
         t = chain_time(run, n_lo, n_hi, repeats=3 if smoke else 5)
         print(json.dumps({
             "stage": "trba_decode", "mode": "greedy",
