@@ -469,6 +469,13 @@ def main():
                 ds = crop_axis_aligned(small, ds_poly)
                 if ds is None or ds.size == 0:
                     continue
+                # model the device gather's aspect correction (ops/
+                # crop_gather._box_geometry): the canvas geometry comes from
+                # the ORIGINAL crop dims, sampling from the detector copy
+                ds = cv2.resize(
+                    ds, (full.shape[1], full.shape[0]),
+                    interpolation=cv2.INTER_LINEAR,
+                )
                 got_crop = resize_and_pad(ds, trba.img_h, trba.img_w)
                 a = ref_crop.astype(np.float64)
                 b = got_crop.astype(np.float64)

@@ -129,7 +129,7 @@ def make_stage_fn(fused, depth: int, mode: str):
         wvalid = jnp.arange(max_words) < n_sel
         crops = crop_resize_pad_mm(
             u8_img, det_boxes, wvalid, out_h=img_h, out_w=img_w,
-            dtype=fused.crop_dtype,
+            dtype=fused.crop_dtype, aspect=(sx, sy),
         )
         if depth == 3:
             return crops.astype(jnp.float32).sum()

@@ -18,6 +18,7 @@ documents the disjoint seed spaces).
 """
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -49,83 +50,105 @@ def main():
     print(f"[data] built in {time.time() - t0:.0f}s", flush=True)
 
     # ---- TRBA micro ----
+    # p_Downscale=0.5: half the training crops are down/re-upsampled to
+    # 0.4-0.75× — the fused pipeline samples word crops from the DETECTOR-
+    # resolution page, so the recognizer must be robust to ~2× resolution
+    # loss (without this aug: host-crop CER 0.04 but fused-crop CER 0.34).
     from manuscript_tpu.recognizers import TRBA
 
-    out = TRBA.train(
-        tsv,
-        img_dir,
-        config=dict(
-            exp_root=str(workdir / "experiments"),
-            exp_name="trba_micro",
-            max_len=12,
-            hidden_size=64,
-            cnn_stage_plan="micro",
-            img_h=32,
-            img_w=128,
-            batch_size=64,
-            epochs=40,
-            lr=1e-3,
-            optimizer="adam",
-            scheduler="cosine",
-            val_size=0.1,
-            early_stop=12,
-        ),
-    )
-    print(
-        f"[trba] val_acc={out['val_acc']:.3f} ({time.time() - t0:.0f}s)",
-        flush=True,
-    )
-    trba_ckpt = Path(out["exp_dir"]) / "checkpoints" / "best_acc.msgpack"
-    if not trba_ckpt.exists():
-        trba_ckpt = Path(out["exp_dir"]) / "checkpoints" / "last.msgpack"
+    trba_ckpt = None
+    if os.environ.get("QUALITY_SKIP_TRBA") != "1":
+        out = TRBA.train(
+            tsv,
+            img_dir,
+            config=dict(
+                exp_root=str(workdir / "experiments"),
+                exp_name="trba_micro",
+                max_len=12,
+                hidden_size=64,
+                cnn_stage_plan="micro",
+                img_h=32,
+                img_w=128,
+                batch_size=64,
+                epochs=40,
+                lr=1e-3,
+                optimizer="adam",
+                scheduler="cosine",
+                val_size=0.1,
+                early_stop=12,
+                aug_params={"p_Downscale": 0.5},
+            ),
+        )
+        print(
+            f"[trba] val_acc={out['val_acc']:.3f} ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        trba_ckpt = Path(out["exp_dir"]) / "checkpoints" / "best_acc.msgpack"
+        if not trba_ckpt.exists():
+            trba_ckpt = Path(out["exp_dir"]) / "checkpoints" / "last.msgpack"
 
     # ---- EAST micro ----
     from manuscript_tpu.detectors import EAST
 
-    eout = EAST.train(
-        tr_pages,
-        tr_coco,
-        va_pages,
-        va_coco,
-        experiment_root=str(workdir / "experiments"),
-        model_name="east_micro",
-        backbone="resnet50-micro",
-        target_size=512,
-        epochs=600,
-        batch_size=8,
-        lr=1e-3,
-        # RAdam+Lookahead, not SAM-SGD: the micro model must CONVERGE in
-        # minutes — SGD at this lr left the geometry regression ~1 cell off
-        # per vertex after 60 epochs (r4 first attempt, F1 0.18); the SAM
-        # path stays covered by the train-step tests and the dryrun
-        use_sam=False,
-        use_multiscale=False,
-        freeze_first=False,
-        early_stop=80,
-        seed=0,
-    )
-    print(
-        f"[east] best_val_loss={eout['best_val_loss']:.4f} "
-        f"({time.time() - t0:.0f}s)",
-        flush=True,
-    )
-    east_ckpt = Path(eout["exp_dir"]) / "checkpoints" / "best.msgpack"
-    if not east_ckpt.exists():
-        east_ckpt = Path(eout["exp_dir"]) / "checkpoints" / "last.msgpack"
+    east_ckpt = None
+    if os.environ.get("QUALITY_SKIP_EAST") != "1":
+        eout = EAST.train(
+            tr_pages,
+            tr_coco,
+            va_pages,
+            va_coco,
+            experiment_root=str(workdir / "experiments"),
+            model_name="east_micro",
+            backbone="resnet50-micro",
+            target_size=512,
+            epochs=int(os.environ.get("QUALITY_EAST_EPOCHS", "600")),
+            batch_size=8,
+            lr=1e-3,
+            # RAdam+Lookahead, not SAM-SGD: the micro model must CONVERGE in
+            # minutes — SGD at this lr left the geometry regression ~1 cell
+            # off per vertex after 60 epochs (r4 first attempt, F1 0.18); the
+            # SAM path stays covered by the train-step tests and the dryrun
+            use_sam=False,
+            use_multiscale=False,
+            freeze_first=False,
+            early_stop=150,
+            val_interval=10,
+            log_tensorboard=False,
+            ckpt_interval=20,
+            # HBM-resident dataset: one upload, device-side jitter —
+            # 0.5 s/epoch on the tunneled chip vs ~12 s/epoch streaming
+            cache_device=True,
+            seed=0,
+        )
+        print(
+            f"[east] best_val_loss={eout['best_val_loss']:.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        east_ckpt = Path(eout["exp_dir"]) / "checkpoints" / "best.msgpack"
+        if not east_ckpt.exists():
+            east_ckpt = Path(eout["exp_dir"]) / "checkpoints" / "last.msgpack"
 
-    # ---- commit artifacts ----
+    # ---- commit artifacts (QUALITY_SKIP_* reuses the committed one) ----
     QUALITY_DIR.mkdir(parents=True, exist_ok=True)
-    shutil.copy(trba_ckpt, QUALITY_DIR / "trba_micro.msgpack")
-    shutil.copy(east_ckpt, QUALITY_DIR / "east_micro.msgpack")
+    if trba_ckpt is not None:
+        shutil.copy(trba_ckpt, QUALITY_DIR / "trba_micro.msgpack")
+    if east_ckpt is not None:
+        shutil.copy(east_ckpt, QUALITY_DIR / "east_micro.msgpack")
 
     # calibrate score_thresh on one held-out page: best detector F1
     from manuscript_tpu.utils.quality import load_quality_models, score_pages
     from manuscript_tpu.utils.synthetic import eval_pages
 
+    # expand 0.52 = exact inverse of the 0.3 label shrink (see
+    # utils/quality.load_quality_models for the derivation); the reference
+    # default 0.9 round-trips GT at only 0.60-0.71 IoU on word-shaped quads,
+    # which eats the localization margin the IoU-0.5 gate needs.
     (QUALITY_DIR / "east_micro.json").write_text(
         json.dumps(
             {"backbone": "resnet50-micro", "target_size": 512,
-             "score_thresh": 0.6},
+             "score_thresh": 0.6, "expand_ratio": 0.52,
+             "quantization": 1},
             indent=1,
         )
     )
@@ -142,7 +165,9 @@ def main():
     (QUALITY_DIR / "east_micro.json").write_text(
         json.dumps(
             {"backbone": "resnet50-micro", "target_size": 512,
-             "score_thresh": best_t, "calibration_f1": round(best_f1, 4),
+             "score_thresh": best_t, "expand_ratio": 0.52,
+             "quantization": 1,
+             "calibration_f1": round(best_f1, 4),
              "trained": time.strftime("%Y-%m-%d"),
              "train_seeds": [1, 2, 3], "calibration_seed": 8000},
             indent=1,
@@ -153,6 +178,7 @@ def main():
     for label, kw in (
         ("fused greedy", dict(mode="greedy")),
         ("fused beam", dict(mode="beam")),
+        ("fused beam crop_scale=2", dict(mode="beam", crop_scale=2)),
         ("classic host crops", dict(use_fused=False, mode="greedy")),
     ):
         m = evaluate_quality(n_pages=8, seed=9000, **kw)

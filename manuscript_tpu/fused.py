@@ -292,16 +292,22 @@ class FusedOCR:
 
             # ---- crop-gather (stays in HBM; MXU matmul formulation) ----
             det_boxes = jnp.stack([cb_x1, cb_y1, cb_x2, cb_y2], axis=1)
+            # the detector copy is SQUARE while pages generally aren't:
+            # (scale_x, scale_y) corrects the crop canvas geometry so words
+            # keep their original aspect (ops/crop_gather._box_geometry;
+            # without it every crop is stretched by the page's W/H ratio)
             if u8_img_hi is not None:
-                # crop from the higher-res copy (boxes scale with it)
+                # crop from the higher-res copy (boxes scale with it; the
+                # aspect ratio correction is scale-invariant)
                 crops = crop_resize_pad_mm(
                     u8_img_hi, det_boxes * float(crop_scale), wvalid,
                     out_h=img_h, out_w=img_w, dtype=crop_dtype,
+                    aspect=(scale_x, scale_y),
                 )
             else:
                 crops = crop_resize_pad_mm(
                     u8_img, det_boxes, wvalid, out_h=img_h, out_w=img_w,
-                    dtype=crop_dtype,
+                    dtype=crop_dtype, aspect=(scale_x, scale_y),
                 )
 
             # ---- recognize ----

@@ -20,21 +20,36 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _box_geometry(boxes, h, w, out_h, out_w):
+def _box_geometry(boxes, h, w, out_h, out_w, aspect=(1.0, 1.0)):
     """Shared resize_and_pad geometry: clamp boxes, compute per-crop source
     scale and canvas placement (left-aligned horizontally, centered
-    vertically). Returns (x1, y1, sx, sy, new_w, new_h, y_off) as f32."""
+    vertically). Returns (x1, y1, sx, sy, new_w, new_h, y_off) as f32.
+
+    ``aspect = (ax, ay)``: per-image source→original axis scale factors.
+    The fused pipeline samples crops from the SQUARE detector-resolution
+    copy of a generally non-square page, so a source crop of (ch, cw)
+    pixels covers (ch·ay, cw·ax) pixels of the original — computing the
+    canvas placement from the raw source dims would stretch every word by
+    the page's W/H ratio (1.33× on a 2560×1920 page; measured CER 0.38 vs
+    0.075 for the same model on undistorted crops). The canvas geometry
+    therefore uses the ORIGINAL dims while sampling stays in source
+    coordinates; the default (1, 1) keeps the old behavior for crops taken
+    from an undistorted image."""
     f32 = jnp.float32
+    ax = jnp.asarray(aspect[0], f32)
+    ay = jnp.asarray(aspect[1], f32)
     x1 = jnp.clip(jnp.floor(boxes[:, 0]), 0, w - 1).astype(f32)
     y1 = jnp.clip(jnp.floor(boxes[:, 1]), 0, h - 1).astype(f32)
     x2 = jnp.clip(jnp.floor(boxes[:, 2]), 0, w).astype(f32)
     y2 = jnp.clip(jnp.floor(boxes[:, 3]), 0, h).astype(f32)
     cw = jnp.maximum(x2 - x1, 1.0)
     ch = jnp.maximum(y2 - y1, 1.0)
+    cw_orig = cw * ax  # original-resolution extent → canvas aspect
+    ch_orig = ch * ay
 
-    scale = jnp.minimum(out_h / ch, out_w / cw)
-    new_w = jnp.maximum(jnp.round(cw * scale), 1.0)
-    new_h = jnp.maximum(jnp.round(ch * scale), 1.0)
+    scale = jnp.minimum(out_h / ch_orig, out_w / cw_orig)
+    new_w = jnp.maximum(jnp.round(cw_orig * scale), 1.0)
+    new_h = jnp.maximum(jnp.round(ch_orig * scale), 1.0)
     sx = cw / new_w  # exact per-axis src/dst ratio, like cv2.resize
     sy = ch / new_h
     y_off = jnp.floor((out_h - new_h) / 2.0)
@@ -48,6 +63,7 @@ def crop_resize_pad_mm(
     out_h: int = 64,
     out_w: int = 256,
     dtype=jnp.float32,
+    aspect=(1.0, 1.0),  # per-image source→original axis scales (see above)
 ) -> jnp.ndarray:
     """MXU formulation of :func:`crop_resize_pad`.
 
@@ -70,7 +86,7 @@ def crop_resize_pad_mm(
     f32 = jnp.float32
     n = boxes.shape[0]
     x1, y1, sx, sy, new_w, new_h, y_off = _box_geometry(
-        boxes, h, w, out_h, out_w
+        boxes, h, w, out_h, out_w, aspect
     )
 
     jj = jnp.arange(out_w, dtype=f32)  # (out_w,)
@@ -115,6 +131,7 @@ def crop_resize_pad(
     valid: jnp.ndarray,  # (N,) bool
     out_h: int = 64,
     out_w: int = 256,
+    aspect=(1.0, 1.0),  # per-image source→original axis scales (see above)
 ) -> jnp.ndarray:
     """Gather N axis-aligned crops and resize-pad each onto a white
     (out_h, out_w) canvas: aspect-preserving, left-aligned horizontally,
@@ -124,7 +141,7 @@ def crop_resize_pad(
     h, w = img_u8.shape[:2]
     f32 = jnp.float32
     x1, y1, sx, sy, new_w, new_h, y_off = _box_geometry(
-        boxes, h, w, out_h, out_w
+        boxes, h, w, out_h, out_w, aspect
     )
 
     jj = jnp.arange(out_w, dtype=f32)[None, None, :]  # (1, 1, out_w)

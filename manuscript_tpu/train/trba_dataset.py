@@ -91,6 +91,9 @@ class AugmentParams:
         contrast_limit: float = 0.2,
         p_brightness_contrast: float = 0.3,
         invert_p: float = 0.0,
+        p_downscale: float = 0.0,
+        downscale_min: float = 0.4,
+        downscale_max: float = 0.75,
     ):
         self.shift_limit = shift_limit
         self.scale_limit = scale_limit
@@ -100,6 +103,14 @@ class AugmentParams:
         self.contrast_limit = contrast_limit
         self.p_brightness_contrast = p_brightness_contrast
         self.invert_p = invert_p
+        # resolution degradation (albumentations-Downscale analog, off by
+        # default for reference parity): down- then re-upsample so the
+        # recognizer learns the fused pipeline's deployment distribution —
+        # word crops sampled from the DETECTOR-resolution page are ~2×
+        # blurrier than full-res training crops (BASELINE.md crop PSNR rows)
+        self.p_downscale = p_downscale
+        self.downscale_min = downscale_min
+        self.downscale_max = downscale_max
 
     @classmethod
     def from_config(cls, cfg: Dict) -> "AugmentParams":
@@ -112,6 +123,9 @@ class AugmentParams:
             contrast_limit=cfg.get("contrast_limit", 0.2),
             p_brightness_contrast=cfg.get("p_BrightnessContrast", 0.3),
             invert_p=cfg.get("invert_p", 0.0),
+            p_downscale=cfg.get("p_Downscale", 0.0),
+            downscale_min=cfg.get("downscale_min", 0.4),
+            downscale_max=cfg.get("downscale_max", 0.75),
         )
 
 
@@ -139,6 +153,14 @@ def augment_word_image(
         out = np.clip(f, 0, 255).astype(np.uint8)
     if rng.uniform() < p.invert_p:
         out = 255 - out
+    if rng.uniform() < p.p_downscale and cv2 is not None:
+        h, w = out.shape[:2]
+        f = rng.uniform(p.downscale_min, p.downscale_max)
+        small = cv2.resize(
+            out, (max(1, int(w * f)), max(1, int(h * f))),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        out = cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
     return out
 
 

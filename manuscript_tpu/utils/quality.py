@@ -50,6 +50,20 @@ def load_quality_models(dtype=None):
         backbone=meta["backbone"],
         target_size=meta["target_size"],
         score_thresh=meta["score_thresh"],
+        # 0.52 is the exact inverse of the 0.3 label shrink (shrink moves
+        # each vertex by 0.3·min(adjacent edges)/√2 per axis, so the shrunk
+        # min edge is 0.576× the original and 0.3/0.576 ≈ 0.52 restores it;
+        # round-trip IoU ≥ 0.998 vs 0.60-0.71 at the reference default 0.9).
+        # The constructor default stays 0.9 for reference parity — it was
+        # presumably tuned against the released weights' own biases.
+        expand_ratio_w=meta.get("expand_ratio", 0.52),
+        expand_ratio_h=meta.get("expand_ratio", 0.52),
+        # q=1: candidates carry their OWN pixel's score+geometry. The
+        # reference-parity default q=2 marks a 2×2 cell valid when ANY pixel
+        # clears the threshold but samples score/geo at the cell center —
+        # boundary cells then emit low-score garbage quads (measured: 94
+        # boxes for 24 GT words, F1 0.48 → 0.99 at q=1, same checkpoint).
+        quantization=meta.get("quantization", 1),
         max_candidates=2048,
         max_boxes=256,
         dtype=dtype if dtype is not None else jnp.float32,

@@ -152,3 +152,58 @@ class TestMatmulGatherEquivalence:
         diff = np.abs(a - b)
         assert diff.max() <= 2
         assert (diff > 0).mean() < 0.02
+
+
+class TestAspectCorrection:
+    def test_nonsquare_page_crop_keeps_original_aspect(self, crop_fn, rng):
+        """Crops sampled from the SQUARE detector copy of a non-square page
+        must match the host path's crop from the ORIGINAL page (the classic
+        Pipeline crops full-res, _pipeline.py:204-221). Without the aspect
+        argument every word is stretched by the page's W/H ratio — the bug
+        the trained-weights quality gate caught (fused CER 0.38 vs host
+        0.075 on identical boxes, BASELINE.md r4 quality section)."""
+        import cv2
+
+        # non-square "page" with smooth content, like a 4:3 manuscript scan
+        base = rng.integers(0, 255, (15, 10, 3)).astype(np.uint8)
+        page = cv2.resize(base, (360, 480), interpolation=cv2.INTER_CUBIC)
+        t = 240  # square detector copy
+        small = cv2.resize(page, (t, t), interpolation=cv2.INTER_LINEAR)
+        sx, sy = page.shape[1] / t, page.shape[0] / t  # 1.5, 2.0
+
+        # a wide word-shaped box in original coords
+        ox1, oy1, ox2, oy2 = 40, 100, 200, 148
+        det_box = np.array(
+            [[ox1 / sx, oy1 / sy, ox2 / sx, oy2 / sy]], np.float32
+        )
+        got = np.asarray(
+            crop_fn(
+                jnp.asarray(small), jnp.asarray(det_box),
+                jnp.ones((1,), bool), out_h=32, out_w=128,
+                aspect=(jnp.float32(sx), jnp.float32(sy)),
+            )
+        )[0]
+        ref = _host_crop(page, (ox1, oy1, ox2, oy2), 32, 128)
+
+        # canvas geometry must match the host exactly: same non-pad region
+        got_pad = got.mean(axis=2) == 255.0
+        ref_pad = ref.mean(axis=2) == 255.0
+        assert (got_pad == ref_pad).mean() > 0.98
+        # content agrees despite the 2x-downsampled source (loose tol)
+        diff = np.abs(
+            got[~ref_pad].astype(int) - ref[~ref_pad].astype(int)
+        )
+        assert diff.mean() < 20.0
+
+    def test_aspect_default_is_identity(self, rng):
+        img = jnp.asarray(rng.integers(0, 255, (100, 100, 3)).astype(np.uint8))
+        boxes = jnp.asarray(np.array([[10, 20, 80, 50]], np.float32))
+        valid = jnp.ones((1,), bool)
+        a = np.asarray(crop_resize_pad_mm(img, boxes, valid, 32, 128))
+        b = np.asarray(
+            crop_resize_pad_mm(
+                img, boxes, valid, 32, 128,
+                aspect=(jnp.float32(1.0), jnp.float32(1.0)),
+            )
+        )
+        assert (a == b).all()
