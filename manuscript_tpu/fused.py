@@ -714,11 +714,17 @@ class FusedOCR:
             print(f"Fused pipeline total: {time.time() - t0:.3f}s")
         return result
 
-    def _dispatch_chunk(self, chunk) -> tuple:
-        """Read + resize + upload up to ``batch_pages`` pages as ONE stacked
-        tensor and dispatch the vmapped program: one h2d, one dispatch, one
-        d2h per chunk. Short chunks are padded by repeating the last page
-        (padding rows are dropped at unpack)."""
+    def _prepare_chunk(self, chunk) -> tuple:
+        """Host side of a chunk dispatch: read + resize + transport-encode
+        up to ``batch_pages`` pages into ONE stacked tensor, and (single-
+        device path) start its h2d upload. Pure host + transfer work with
+        no jit/program state — safe to run in a background thread so the
+        next chunk's CPU work and upload hide behind the current chunk's
+        device compute and result fetch (``predict_many`` does exactly
+        that; on the tunneled link this is the difference between
+        host-serial ~146 ms/chunk and ~max(compute, IO)). Short chunks are
+        padded by repeating the last page (padding rows are dropped at
+        unpack)."""
         det = self.detector
         b = self.batch_pages
         imgs, resized, resized_hi, sx, sy = [], [], [], [], []
@@ -744,12 +750,28 @@ class FusedOCR:
         resized = self._encode_stack(resized)
         if resized_hi:
             resized_hi = self._encode_stack(resized_hi)
-        self._resolve_capacity(resized[0], sx[0], sy[0])
-        hi = (
-            (np.stack(resized_hi),) if self.crop_scale > 1 else ()
+        first_page, first_sx, first_sy = resized[0], sx[0], sy[0]
+        stack = np.stack(resized)
+        hi = (np.stack(resized_hi),) if self.crop_scale > 1 else ()
+        if self.mesh is None:
+            # start the upload now (async h2d); the jit call then receives
+            # committed buffers instead of blocking on the transfer.
+            # mesh path keeps uncommitted numpy: jit places each page shard
+            # directly on its device per in_shardings (no staging copy)
+            stack = jax.device_put(stack)
+            hi = tuple(jax.device_put(h) for h in hi)
+        return (
+            imgs, stack, hi,
+            np.asarray(sx, np.float32), np.asarray(sy, np.float32),
+            (first_page, first_sx, first_sy),
         )
-        # mesh path: uncommitted numpy inputs let jit place each page shard
-        # directly on its device per in_shardings (no staging copy)
+
+    def _dispatch_prepared(self, prep) -> tuple:
+        """Dispatch one prepared chunk: resolve capacity (may rebuild the
+        program on the first page) and enqueue the vmapped program."""
+        det = self.detector
+        imgs, stack, hi, sx, sy, first = prep
+        self._resolve_capacity(*first)
         dvars = (
             (self._det_vars_mesh, self._rec_vars_mesh)
             if self.mesh is not None
@@ -757,14 +779,20 @@ class FusedOCR:
         )
         outs = self.program_batched(
             *dvars,
-            np.stack(resized),
+            stack,
             *hi,
             jnp.float32(det.score_thresh),
             jnp.float32(det.iou_threshold),
-            np.asarray(sx, np.float32),
-            np.asarray(sy, np.float32),
+            sx,
+            sy,
         )
         return imgs, outs, (self._built_nb, self._built_nw)
+
+    def _dispatch_chunk(self, chunk) -> tuple:
+        """Read + resize + upload up to ``batch_pages`` pages as ONE stacked
+        tensor and dispatch the vmapped program: one h2d, one dispatch, one
+        d2h per chunk."""
+        return self._dispatch_prepared(self._prepare_chunk(chunk))
 
     def _finish_chunk(self, imgs, outs, vis: bool, meta) -> List[Any]:
         flat = np.asarray(outs)  # (B, page_flat) — single d2h
@@ -782,8 +810,14 @@ class FusedOCR:
     ) -> List[Any]:
         """OCR many pages: ``batch_pages`` pages ride one device program
         (one upload, one dispatch, one result fetch per chunk), and up to
-        ``queue_depth`` chunks stay in flight so the host's read/resize of
-        chunk i+1 and the link transfers hide behind chunk i's compute."""
+        ``queue_depth`` chunks stay in flight. Chunk PREPARATION (read,
+        resize, transport-encode, h2d upload — ``_prepare_chunk``) runs in
+        one background thread: its CPU work overlaps the main thread's
+        blocking d2h result fetches (both release the GIL during link IO),
+        so the steady state approaches max(device compute, link IO) per
+        chunk instead of their sum. Measured on the tunneled v5e: host
+        preprocess 47 ms + transfers per 4-page chunk were fully serial
+        before (≈146 ms/chunk against 80 ms device compute)."""
         t0 = time.time()
         results: List[Any] = []
         if self.batch_pages <= 1:
@@ -796,14 +830,31 @@ class FusedOCR:
             for img, outs, meta in pending:
                 results.append(self._finish(img, outs, vis, meta))
         else:
+            from concurrent.futures import ThreadPoolExecutor
+
             b = self.batch_pages
             chunks = [images[i : i + b] for i in range(0, len(images), b)]
             in_flight: List[tuple] = []
-            for chunk in chunks:
-                in_flight.append(self._dispatch_chunk(chunk))
-                if len(in_flight) > queue_depth:
-                    imgs, outs, meta = in_flight.pop(0)
-                    results.extend(self._finish_chunk(imgs, outs, vis, meta))
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                preps = []
+                nxt = 0
+                while nxt < len(chunks) and len(preps) <= queue_depth:
+                    preps.append(ex.submit(self._prepare_chunk, chunks[nxt]))
+                    nxt += 1
+                while preps:
+                    in_flight.append(
+                        self._dispatch_prepared(preps.pop(0).result())
+                    )
+                    if nxt < len(chunks):
+                        preps.append(
+                            ex.submit(self._prepare_chunk, chunks[nxt])
+                        )
+                        nxt += 1
+                    if len(in_flight) > queue_depth:
+                        imgs, outs, meta = in_flight.pop(0)
+                        results.extend(
+                            self._finish_chunk(imgs, outs, vis, meta)
+                        )
             for imgs, outs, meta in in_flight:
                 results.extend(self._finish_chunk(imgs, outs, vis, meta))
         if profile:
