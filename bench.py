@@ -341,6 +341,9 @@ def main():
         n_pages / g_dt,
         "pages/s",
         vs_baseline=(n_pages / g_dt) / REFERENCE_PAGES_PER_SEC,
+        config="measured after the primary — the link throttles on "
+               "cumulative volume, so greedy<=beam here is ordering, "
+               "not decode cost (decode is ~1-2 ms of a 21 ms page)",
     )
 
     # per-page latency distribution (single dispatch, no pipelining) —
