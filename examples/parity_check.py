@@ -60,15 +60,11 @@ def page_words(page):
 
 
 def axis_iou(p1, p2):
-    a = np.asarray(p1, float)
-    b = np.asarray(p2, float)
-    ax1, ay1, ax2, ay2 = a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max()
-    bx1, by1, bx2, by2 = b[:, 0].min(), b[:, 1].min(), b[:, 0].max(), b[:, 1].max()
-    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
-    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
-    inter = iw * ih
-    union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
-    return inter / union if union > 0 else 0.0
+    """Axis-aligned-bbox IoU of two polygons — the package helper is the
+    single implementation (tests/test_quality_gate.py imports this name)."""
+    from manuscript_tpu.utils.quality import _axis_iou
+
+    return _axis_iou(np.asarray(p1, np.float32), np.asarray(p2, np.float32))
 
 
 def main():

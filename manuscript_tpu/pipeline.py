@@ -117,11 +117,30 @@ class Pipeline:
         """Recognize crops honoring the pipeline's decode config when the
         recognizer supports it (native TRBA); duck-typed recognizers with a
         bare ``predict(images)`` signature still work (reference contract,
-        docs/PIPELINE_API.md)."""
-        try:
-            return self.recognizer.predict(word_images, **self._decode_kwargs)
-        except TypeError:
-            return self.recognizer.predict(word_images)
+        docs/PIPELINE_API.md). The signature is inspected rather than
+        probed with a try/except so a TypeError raised INSIDE a
+        kwargs-capable recognizer isn't masked by a silent retry that
+        drops the configured decode parameters."""
+        if self._decode_kwargs:
+            try:
+                import inspect
+
+                params = inspect.signature(
+                    self.recognizer.predict
+                ).parameters.values()
+                accepts = any(
+                    p.kind == inspect.Parameter.VAR_KEYWORD for p in params
+                ) or all(
+                    k in inspect.signature(self.recognizer.predict).parameters
+                    for k in self._decode_kwargs
+                )
+            except (TypeError, ValueError):  # builtins/C callables
+                accepts = False
+            if accepts:
+                return self.recognizer.predict(
+                    word_images, **self._decode_kwargs
+                )
+        return self.recognizer.predict(word_images)
 
     @staticmethod
     def _fusable(detector, recognizer) -> bool:

@@ -196,6 +196,10 @@ class TRBA:
         from ..parallel.mesh import canonicalize_layout
 
         self.variables = canonicalize_layout(jax.device_put(self._load_variables()))
+        # the raw checkpoint tree was only needed for config/itos resolution
+        # and the variable restore above — drop it so the host copy of the
+        # weights doesn't stay resident for the wrapper's lifetime
+        self._ckpt_raw = None
         self._decode_fns: Dict[tuple, Any] = {}
         # absorb the link's one-time d2h handshake at construction
         np.asarray(jax.device_put(np.zeros((16,), np.float32)))

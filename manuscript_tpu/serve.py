@@ -127,6 +127,7 @@ class OCRServer:
         self.request_timeout_s = request_timeout_s
         self.metrics = _Metrics()
         self._queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
+        self._submit_lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(
             target=self._drain_loop, name="ocr-batcher", daemon=True
@@ -252,10 +253,36 @@ class OCRServer:
         """Enqueue one page. Raises ``queue.Full`` when the bounded
         admission queue is at capacity (the HTTP layer maps it to 429)."""
         job = _Job(image=image)
-        self._queue.put_nowait(job)
+        with self._submit_lock:
+            try:
+                self._queue.put_nowait(job)
+            except queue.Full:
+                # the backlog may be entirely abandoned jobs (a timeout
+                # burst while the worker was inside a long batch) — those
+                # only leave the queue when the batcher assembles its next
+                # batch, so purge them before refusing admission with a
+                # spurious 429. The lock serializes submitters, so the
+                # put-back + retry below cannot race another admission
+                # (the batcher's concurrent gets only ever make room).
+                self._purge_abandoned()
+                self._queue.put_nowait(job)  # queue.Full propagates if real
         with self.metrics.lock:
             self.metrics.requests_total += 1
         return job
+
+    def _purge_abandoned(self):
+        """Drop abandoned jobs from the admission queue (survivors keep
+        FIFO order; callers hold ``_submit_lock``)."""
+        live = []
+        while True:
+            try:
+                j = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not j.abandoned:
+                live.append(j)
+        for j in live:
+            self._queue.put_nowait(j)
 
     def _count_error(self):
         with self.metrics.lock:

@@ -620,8 +620,7 @@ def train(
                         if host_batch is None:
                             # device-cached val: sample 0 of this batch is
                             # dataset item 0 (sequential, un-augmented)
-                            im0, sc0, geo0 = vs[0]
-                            quads0 = vs.quads_for(0)
+                            im0, sc0, geo0, quads0 = vs[0]
                         else:
                             im0 = host_batch["image"][0]
                             sc0 = host_batch["score"][0]
@@ -685,6 +684,15 @@ def train(
         )
 
         if state.patience >= early_stop:
+            # ckpt_interval may have skipped this epoch's checkpoint write —
+            # persist the final state so resume/last.msgpack aren't up to
+            # ckpt_interval-1 epochs stale after an early stop
+            (ckpt_dir / "last.msgpack").write_bytes(
+                flax.serialization.to_bytes(
+                    {"params": state.params, "batch_stats": state.batch_stats}
+                )
+            )
+            (ckpt_dir / "last_state.msgpack").write_bytes(state.serialize())
             print(f"[EAST.train] early stop at epoch {epoch}")
             break
 

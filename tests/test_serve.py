@@ -317,3 +317,28 @@ def test_cli_serve_parser_wires_defaults(monkeypatch):
     assert captured["served"]
     assert captured["port"] == 8123
     assert captured["wait"] == 10.0
+
+
+def test_abandoned_jobs_do_not_hold_queue_slots():
+    """A timeout burst leaves abandoned jobs in the bounded queue; a new
+    submission must purge them instead of bouncing with a spurious 429
+    (r4 review finding: capacity only recovered when the batcher cycled)."""
+    import queue as _queue
+
+    import numpy as np
+
+    pipe = StubPipeline(delay_s=0.0)
+    srv = OCRServer(
+        pipe, host="127.0.0.1", port=0, batch_pages=1, max_queue=2,
+    )
+    # do NOT start the batcher: the queue can only drain via the purge
+    img = np.zeros((4, 4, 3), np.uint8)
+    j1 = srv.submit(img)
+    j2 = srv.submit(img)
+    with pytest.raises(_queue.Full):
+        srv.submit(img)  # genuinely full: live jobs keep their slots
+    j1.abandoned = True
+    j2.abandoned = True
+    j3 = srv.submit(img)  # purge frees both slots
+    assert not j3.abandoned
+    assert srv._queue.qsize() == 1  # only the live job remains

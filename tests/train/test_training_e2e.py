@@ -274,7 +274,10 @@ class TestEASTCacheDevice:
             use_multiscale=True,  # device-side jax.image.resize path
             use_ema=False,
             freeze_first=False,
-            log_tensorboard=False,
+            # exercises the device-cached collage logging branch — it once
+            # unpacked the dataset 4-tuple into 3 names and crashed the
+            # first validation epoch (r4 review finding)
+            log_tensorboard=True,
             cache_device=True,
             ckpt_interval=2,
             n_devices=2,
