@@ -187,7 +187,14 @@ class FusedOCR:
 
     # ------------------------------------------------------------------
 
-    def _build_program(self):
+    def _build_program(self, stop_after: Optional[str] = None):
+        """Build the single-page device program. ``stop_after`` truncates it
+        after the named stage and returns a data-dependent f32 scalar
+        instead of the packed result — the stage-profiling hook
+        (examples/fused_profile.py) measures cumulative prefixes of the
+        EXACT production program rather than a hand-mirrored copy. Stages:
+        east_forward, decode_compact, lanms, postprocess_crop, trba_cnn,
+        trba_encode, trba_decode(=None, full program minus packing)."""
         det, rec = self.detector, self.recognizer
         east_model, trba_model = det.model, rec.model
         q = det.quantization
@@ -243,13 +250,23 @@ class FusedOCR:
             out = east_model.apply(east_vars, x[None])
             score = out["score"][0, :, :, 0]
             geo = out["geometry"][0]
+            if stop_after == "east_forward":
+                return score.astype(jnp.float32).sum() + geo.astype(
+                    jnp.float32
+                ).sum()
             quads, scores, valid = decode_cells_jax(
                 score, geo, score_thresh, quantization=q, scale=geo_scale
             )
             cands = compact_candidates(quads, scores, valid, max_cands)
+            if stop_after == "decode_compact":
+                return cands.astype(jnp.float32).sum()
             merged, count = locality_aware_nms_parallel(
                 cands, iou_thresh, max_out=max_boxes
             )
+            if stop_after == "lanms":
+                return merged.astype(jnp.float32).sum() + count.astype(
+                    jnp.float32
+                )
             boxes9, bvalid = postprocess_boxes_jax(
                 merged,
                 count,
@@ -310,8 +327,21 @@ class FusedOCR:
                     dtype=crop_dtype, aspect=(scale_x, scale_y),
                 )
 
+            if stop_after == "postprocess_crop":
+                return crops.astype(jnp.float32).sum()
+
             # ---- recognize ----
             xc = (crops.astype(trba_model.dtype) / 255.0 - 0.5) / 0.5
+            if stop_after == "trba_cnn":
+                # CNN + height-pool only (the encoder minus the BiLSTMs)
+                feat = trba_model.apply(
+                    trba_vars, xc,
+                    method=lambda m, a: jnp.mean(m.cnn(a), axis=1),
+                )
+                return feat.astype(jnp.float32).sum()
+            if stop_after == "trba_encode":
+                enc = trba_model.apply(trba_vars, xc, method="encode")
+                return enc.astype(jnp.float32).sum()
             if mode == "greedy":
                 logits, preds = trba_model.apply(
                     trba_vars, xc, max_len=max_len, method="greedy"
@@ -327,6 +357,11 @@ class FusedOCR:
                     method="beam",
                 )
             preds, confs = sequence_confidence(logits, preds, eos_id)
+            if stop_after == "trba_decode":
+                return (
+                    preds.astype(jnp.float32).sum()
+                    + confs.astype(jnp.float32).sum()
+                )
 
             # ---- pack everything into ONE f32 buffer ----
             # The link charges ~30 ms fixed latency per transfer; fetching
