@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # "resnet50-tiny" keeps the channel plan (256/512/1024/2048 stage outputs,
@@ -34,6 +35,59 @@ STAGE_BLOCKS = {
 }
 
 STEM_WIDTH = {"resnet50-micro": 16}  # default 64 (torchvision plan)
+
+
+class StemConv(nn.Module):
+    """7×7/2 stem conv, computed as a space-to-depth-folded 4×4/1 conv.
+
+    A C_in=3 7×7 conv leaves the MXU's 128-deep contraction nearly empty;
+    folding each 2×2 input block into channels (→12 channels) and the
+    zero-padded 8×8 kernel into a 4×4 one is numerically exact (identical
+    MACs plus 45 zero taps) and measured 4.0× faster on v5e
+    (examples/stem_probe.py: 2.68 → 0.68 ms on a 1280² page, i.e. 42% → 11%
+    of the whole EAST forward). The parameter layout is unchanged — `kernel`
+    is stored (7, 7, C_in, width) HWIO exactly like the ``nn.Conv`` this
+    replaces — so checkpoints, torch conversion (utils/convert.py), and the
+    parity fixtures are untouched; the fold happens inside the program.
+
+    Kernel fold derivation: with padding 3 and stride 2, tap ``u`` of the
+    7-tap kernel reads source offset ``2i - 3 + u``. Zero-padding one
+    row/col at the TOP/LEFT re-indexes to ``u' ∈ 0..7`` with offset
+    ``2i - 4 + u' = 2(i - 2 + c) + a`` for ``u' = 2c + a`` — i.e. block
+    coordinate ``c`` (the folded 4-tap axis) with in-block offset ``a``
+    (the channel-fold axis), matching the input's (row, col, channel)
+    fold order. Padding (2, 1) per axis reproduces the original halo.
+    """
+
+    width: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, cin, self.width),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        n, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            # odd spatial dims can't fold into 2×2 blocks — direct form
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn
+            )
+        x = x.reshape(n, h // 2, 2, w // 2, 2, cin)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * cin)
+        k = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = k.reshape(4, 2, 4, 2, cin, self.width)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, self.width)
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn
+        )
 
 
 class Bottleneck(nn.Module):
@@ -99,15 +153,7 @@ class ResNetFeatures(nn.Module):
         blocks = STAGE_BLOCKS[self.backbone]
         width = STEM_WIDTH.get(self.backbone, 64)
 
-        x = nn.Conv(
-            width,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        x = StemConv(width, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
