@@ -14,9 +14,7 @@ remaining cost. Smoke mode (MANUSCRIPT_TPU_BENCH_SMOKE=1): tiny CPU run.
 
 import json
 import os
-import statistics
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -61,26 +59,7 @@ def main():
         "batch_stats": variables["batch_stats"]["backbone"],
     }
 
-    def chained(fn):
-        def run(n):
-            def body(_, carry):
-                return fn(carry * jnp.float32(1e-30)) * jnp.float32(1e-20)
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        return jax.jit(run)
-
-    def chain_time(run, n_lo, n_hi, repeats):
-        float(run(n_lo))
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(run(n_hi))
-            t1 = time.perf_counter()
-            float(run(n_lo))
-            t2 = time.perf_counter()
-            ts.append(((t1 - t0) - (t2 - t1)) / (n_hi - n_lo))
-        return statistics.median(ts)
+    from _timing import chain_time, chained
 
     def prefix(stage):
         def fn(eps):

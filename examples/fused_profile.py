@@ -28,9 +28,7 @@ harness itself.
 
 import json
 import os
-import statistics
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -39,21 +37,7 @@ os.environ.setdefault("MANUSCRIPT_TPU_NO_DOWNLOAD", "1")
 os.environ.setdefault("MANUSCRIPT_TPU_ALLOW_RANDOM_INIT", "1")
 
 
-def chain_time(run, n_lo: int, n_hi: int, repeats: int = 5) -> float:
-    """Median per-iteration seconds via the differential chain method
-    (same scheme as examples/pallas_bench.py)."""
-    float(run(n_lo))  # compile both chain lengths
-    float(run(n_hi))
-    per_iter = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(run(n_lo))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(run(n_hi))
-        t_hi = time.perf_counter() - t0
-        per_iter.append((t_hi - t_lo) / (n_hi - n_lo))
-    return statistics.median(per_iter)
+from _timing import chain_time  # noqa: E402  (differential-chain method)
 
 
 STAGES = [

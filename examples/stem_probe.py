@@ -22,9 +22,7 @@ Smoke mode (MANUSCRIPT_TPU_BENCH_SMOKE=1): tiny shapes on CPU.
 
 import json
 import os
-import statistics
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -113,28 +111,7 @@ def main():
     print(json.dumps({"check": "s2d_equivalence", "rel_err": err}), flush=True)
     assert err < 1e-5, err
 
-    def chained(fn, *const_args):
-        def run(n):
-            def body(_, carry):
-                return fn(*const_args, carry * jnp.float32(1e-30)) * jnp.float32(
-                    1e-20
-                )
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        return jax.jit(run)
-
-    def chain_time(run, n_lo, n_hi, repeats):
-        float(run(n_lo))  # compile + warm
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(run(n_hi))
-            t1 = time.perf_counter()
-            float(run(n_lo))
-            t2 = time.perf_counter()
-            ts.append(((t1 - t0) - (t2 - t1)) / (n_hi - n_lo))
-        return statistics.median(ts)
+    from _timing import chain_time, chained
 
     n_lo, n_hi = (1, 2) if SMOKE else (4, 32)
     for name, fn, args in [

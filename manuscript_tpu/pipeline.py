@@ -120,22 +120,24 @@ class Pipeline:
         docs/PIPELINE_API.md). The signature is inspected rather than
         probed with a try/except so a TypeError raised INSIDE a
         kwargs-capable recognizer isn't masked by a silent retry that
-        drops the configured decode parameters."""
+        drops the configured decode parameters. The recognizer is fixed at
+        construction, so the decision is computed once and cached."""
         if self._decode_kwargs:
-            try:
-                import inspect
+            accepts = getattr(self, "_recognizer_accepts_kwargs", None)
+            if accepts is None:
+                try:
+                    import inspect
 
-                params = inspect.signature(
-                    self.recognizer.predict
-                ).parameters.values()
-                accepts = any(
-                    p.kind == inspect.Parameter.VAR_KEYWORD for p in params
-                ) or all(
-                    k in inspect.signature(self.recognizer.predict).parameters
-                    for k in self._decode_kwargs
-                )
-            except (TypeError, ValueError):  # builtins/C callables
-                accepts = False
+                    params = inspect.signature(
+                        self.recognizer.predict
+                    ).parameters
+                    accepts = any(
+                        p.kind == inspect.Parameter.VAR_KEYWORD
+                        for p in params.values()
+                    ) or all(k in params for k in self._decode_kwargs)
+                except (TypeError, ValueError):  # builtins/C callables
+                    accepts = False
+                self._recognizer_accepts_kwargs = accepts
             if accepts:
                 return self.recognizer.predict(
                     word_images, **self._decode_kwargs

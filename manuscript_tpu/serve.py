@@ -140,18 +140,22 @@ class OCRServer:
             def log_message(self, fmt, *args):  # noqa: D102
                 pass
 
-            def _send(self, code: int, body: bytes, ctype: str):
+            def _send(self, code: int, body: bytes, ctype: str,
+                      headers=None):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _send_json(self, code: int, obj) -> None:
+            def _send_json(self, code: int, obj, headers=None) -> None:
                 self._send(
                     code,
                     json.dumps(obj).encode("utf-8"),
                     "application/json",
+                    headers=headers,
                 )
 
             def do_GET(self):  # noqa: N802
@@ -190,15 +194,11 @@ class OCRServer:
                 except queue.Full:
                     with server.metrics.lock:
                         server.metrics.rejected_total += 1
-                    self.send_response(429)
-                    self.send_header("Retry-After", "1")
-                    body429 = json.dumps(
-                        {"error": "queue full, retry later"}
-                    ).encode("utf-8")
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body429)))
-                    self.end_headers()
-                    self.wfile.write(body429)
+                    self._send_json(
+                        429,
+                        {"error": "queue full, retry later"},
+                        headers={"Retry-After": "1"},
+                    )
                     return
                 if not job.done.wait(server.request_timeout_s):
                     job.abandoned = True

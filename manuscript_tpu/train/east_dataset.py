@@ -131,6 +131,7 @@ class EASTDataset:
         augment: bool = True,
         dataset_name: Optional[str] = None,
         seed: int = 0,
+        cache_maps_mb: float = 2048.0,
     ):
         self.images_folder = str(images_folder)
         self.target_size = target_size
@@ -148,6 +149,8 @@ class EASTDataset:
             self.annots.setdefault(ann["image_id"], []).append(ann)
         self._drop_invalid()
         self._map_cache: Dict[int, tuple] = {}
+        self._map_cache_budget = int(cache_maps_mb * 1e6)
+        self._map_cache_bytes = 0
 
     def _drop_invalid(self) -> None:
         bad = []
@@ -211,7 +214,9 @@ class EASTDataset:
         # the label maps depend only on idx (quads and target size are
         # fixed; augmentation is photometric) — rasterizing them per epoch
         # made small-dataset training host-bound on one core, so they are
-        # cached after the first epoch (~0.6 MB per 512² sample)
+        # cached after the first epoch (~0.6 MB per 512² sample) UP TO
+        # cache_maps_mb total; past the budget samples rasterize per epoch
+        # so large corpora never accumulate unbounded host RAM
         cached = self._map_cache.get(idx)
         if cached is None:
             quads = self.quads_for(idx)
@@ -219,7 +224,10 @@ class EASTDataset:
                 quads, self.target_size, self.score_geo_scale
             )
             cached = (score, geo, quads)
-            self._map_cache[idx] = cached
+            sz = score.nbytes + geo.nbytes
+            if self._map_cache_bytes + sz <= self._map_cache_budget:
+                self._map_cache[idx] = cached
+                self._map_cache_bytes += sz
         score, geo, quads = cached
         return img, score, geo, quads
 
