@@ -101,6 +101,45 @@ class TestEASTLabels:
         assert batches[0]["geo"].shape == (1, 16, 16, 8)
         assert len(batches[0]["quads"][0]) == 1
 
+    def test_map_cache_budget(self, tmp_path, rng):
+        """The label-map cache stops growing past its byte budget (review
+        finding: unbounded caching OOMs the host on large corpora) while
+        items past the budget still return correct maps."""
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        images, anns = [], []
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            ).save(img_dir / f"{i}.png")
+            images.append(
+                {"id": i, "file_name": f"{i}.png", "width": 64, "height": 64}
+            )
+            anns.append({"id": i + 1, "image_id": i,
+                         "segmentation": [[10, 10, 40, 10, 40, 30, 10, 30]]})
+        ann_file = tmp_path / "ann.json"
+        ann_file.write_text(json.dumps({"images": images, "annotations": anns}))
+
+        # one 64²-sample's maps are 16*16*4 + 16*16*8*4 = 9216 bytes;
+        # budget two samples' worth
+        ds = EASTDataset(
+            img_dir, ann_file, target_size=64, augment=False,
+            cache_maps_mb=2 * 9216 / 1e6,
+        )
+        first = [ds[i] for i in range(4)]
+        assert len(ds._map_cache) == 2
+        assert ds._map_cache_bytes <= ds._map_cache_budget
+        second = [ds[i] for i in range(4)]  # uncached items recompute
+        for (i1, s1, g1, _), (i2, s2, g2, _) in zip(first, second):
+            np.testing.assert_array_equal(s1, s2)
+            np.testing.assert_array_equal(g1, g2)
+        # zero budget disables caching entirely
+        ds0 = EASTDataset(
+            img_dir, ann_file, target_size=64, augment=False, cache_maps_mb=0
+        )
+        ds0[0]
+        assert not ds0._map_cache
+
 
 class TestOCRDataset:
     def _make(self, tmp_path, rng, rows, fmt="tsv"):
