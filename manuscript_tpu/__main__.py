@@ -22,6 +22,17 @@ def _page_to_dict(page) -> dict:
     return page.model_dump()
 
 
+def _mesh_from_args(args):
+    """Build a data mesh when --n-devices asks for multi-chip inference
+    (pages shard over the 'data' axis, weights replicate — the same
+    sharded fused program predict_many/serve ride)."""
+    if getattr(args, "n_devices", 1) and args.n_devices > 1:
+        from .parallel.mesh import make_mesh
+
+        return make_mesh(args.n_devices)
+    return None
+
+
 def cmd_ocr(args):
     from . import Pipeline
 
@@ -30,6 +41,7 @@ def cmd_ocr(args):
         batch_pages=args.batch_pages,
         max_words=args.max_words,
         crop_scale=args.crop_scale,
+        mesh=_mesh_from_args(args),
     )
     if len(args.images) > 1 and not args.vis:
         # many pages ride the chunked fused program — one device dispatch
@@ -139,6 +151,7 @@ def cmd_serve(args):
         mode=args.mode,
         batch_pages=args.batch_pages,
         max_words=args.max_words,
+        mesh=_mesh_from_args(args),
     )
     server = OCRServer(
         pipe,
@@ -181,6 +194,11 @@ def main(argv=None):
         "--crop-scale", type=int, default=1,
         help="k>1 uploads a (k*target)^2 page copy so fused crops sample "
              "k-times finer than detector resolution",
+    )
+    p.add_argument(
+        "--n-devices", type=int, default=1,
+        help="shard pages over an N-device data mesh (multi-chip "
+             "inference); batch_pages rounds up to a multiple of N",
     )
     p.set_defaults(func=cmd_ocr)
 
@@ -230,6 +248,11 @@ def main(argv=None):
     p.add_argument(
         "--request-timeout-s", type=float, default=120.0,
         help="end-to-end per-request budget; expiry returns 504",
+    )
+    p.add_argument(
+        "--n-devices", type=int, default=1,
+        help="shard each micro-batch over an N-device data mesh "
+             "(multi-chip serving); batch_pages rounds up to a multiple of N",
     )
     p.set_defaults(func=cmd_serve)
 

@@ -20,6 +20,7 @@ This module is the TPU-native equivalent of that missing layer:
 Usage::
 
     python -m manuscript_tpu serve --port 8000            # real models
+    python -m manuscript_tpu serve --n-devices 4          # multi-chip mesh
     OCRServer(pipeline, port=8000).serve_forever()          # embedded
 
 The handler is pipeline-agnostic (same duck-typed contract as ``Pipeline``):

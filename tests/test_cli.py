@@ -109,3 +109,28 @@ def test_ocr_command_multi_image_batches(monkeypatch, capsys, image_file):
     cli.main(["ocr", image_file, image_file, "--mode", "greedy"])
     assert calls["n"] == 2
     assert capsys.readouterr().out.count("hello") == 2
+
+
+def test_ocr_n_devices_builds_mesh(monkeypatch, capsys, image_file):
+    """--n-devices N plumbs a data mesh into the Pipeline (multi-chip
+    inference from the CLI); default stays mesh-free."""
+    seen = {}
+
+    class FakePipe:
+        def __init__(self, **kw):
+            seen.update(kw)
+
+        def predict(self, image, vis=False, profile=False):
+            return _fake_page()
+
+        def get_text(self, page):
+            return "hello"
+
+    monkeypatch.setattr("manuscript_tpu.Pipeline", FakePipe)
+    cli.main(["ocr", image_file])
+    assert seen["mesh"] is None
+
+    cli.main(["ocr", image_file, "--n-devices", "2"])
+    mesh = seen["mesh"]
+    assert mesh is not None
+    assert mesh.shape["data"] == 2 and mesh.shape["model"] == 1
