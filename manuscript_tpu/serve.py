@@ -231,6 +231,31 @@ class OCRServer:
 
     @staticmethod
     def decode_image(body: bytes) -> np.ndarray:
+        """Decode a request body into an RGB uint8 array.
+
+        Two wire formats, sniffed by magic bytes:
+
+        * any PIL-decodable image (PNG/JPEG/TIFF/...) — the interchange
+          path;
+        * a raw ``.npy`` array (uint8, HxW or HxWx3) — the production
+          fast path: a page-sized JPEG costs the host tens of ms to
+          decode, which on a one-core frontend caps serving below what
+          the device sustains; ``np.save`` bytes cost ~0.
+        """
+        if body[:6] == b"\x93NUMPY":
+            arr = np.load(io.BytesIO(body), allow_pickle=False)
+            if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+                raise ValueError(
+                    f"npy body must be uint8 HxW[x3], got "
+                    f"{arr.dtype} ndim={arr.ndim}"
+                )
+            if arr.ndim == 2:
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
+            elif arr.shape[2] == 4:
+                arr = arr[:, :, :3]
+            elif arr.shape[2] != 3:
+                raise ValueError(f"npy body has {arr.shape[2]} channels")
+            return np.ascontiguousarray(arr)
         from PIL import Image
 
         img = Image.open(io.BytesIO(body))

@@ -342,3 +342,42 @@ def test_abandoned_jobs_do_not_hold_queue_slots():
     j3 = srv.submit(img)  # purge frees both slots
     assert not j3.abandoned
     assert srv._queue.qsize() == 1  # only the live job remains
+
+
+def make_npy(arr: "np.ndarray") -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_npy_body_rgb_roundtrip(server):
+    """Raw .npy bodies ride the production fast path (no PIL decode)."""
+    srv, pipe = server
+    status, body = _post(
+        srv.port, make_npy(np.zeros((30, 40, 3), np.uint8))
+    )
+    assert status == 200
+    assert body["text"] == "40x30"
+
+
+def test_npy_body_grayscale_and_rgba_normalized(server):
+    srv, _ = server
+    status, body = _post(
+        srv.port, make_npy(np.zeros((24, 32), np.uint8))
+    )
+    assert status == 200
+    assert body["text"] == "32x24"
+    status, body = _post(
+        srv.port, make_npy(np.zeros((24, 32, 4), np.uint8))
+    )
+    assert status == 200
+    assert body["text"] == "32x24"
+
+
+def test_npy_body_bad_dtype_rejected_400(server):
+    srv, _ = server
+    status, body = _post(
+        srv.port, make_npy(np.zeros((8, 8, 3), np.float32))
+    )
+    assert status == 400
+    assert "uint8" in body["error"]
