@@ -355,6 +355,13 @@ def main():
     raw["fused_single_page_s"] = lat_raw
     emit(
         "fused_single_page_latency_s", lat_med, "s/page",
+        # the one protocol-matched comparison vs the reference's only
+        # recorded number (Colab single-image EAST latency, 0.604 s mean):
+        # same single-image-at-a-time loop, and ours ALSO recognizes
+        vs_baseline=(1.0 / lat_med) / REFERENCE_PAGES_PER_SEC,
+        config="single-image loop like the reference's Colab protocol, "
+               "but full detect+recognize, measured post-primary on a "
+               "throttled link",
     )
 
     # ---- MFU for the fused program ----
