@@ -381,3 +381,31 @@ def test_npy_body_bad_dtype_rejected_400(server):
     )
     assert status == 400
     assert "uint8" in body["error"]
+
+
+@pytest.mark.slow
+def test_serve_bench_smoke_end_to_end():
+    """examples/serve_bench.py drives real models through a real HTTP
+    server; smoke mode keeps it on CPU with tiny shapes. Asserts the
+    harness completes and reports a sane metric set."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, MANUSCRIPT_TPU_BENCH_SMOKE="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, str(repo / "examples" / "serve_bench.py"),
+         "--clients", "2", "--seconds", "2", "--mode", "greedy"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = {
+        json.loads(l)["metric"]: json.loads(l)
+        for l in out.stdout.splitlines() if l.startswith("{")
+    }
+    assert "serve_pages_per_sec" in metrics, out.stdout
+    assert metrics["serve_pages_per_sec"]["value"] > 0
+    assert metrics["serve_pages_per_sec"]["errors"] == 0
+    assert "serve_latency_p99_s" in metrics
