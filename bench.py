@@ -55,18 +55,9 @@ def _enable_compile_cache():
     """
     if os.environ.get("MANUSCRIPT_TPU_BENCH_NO_CACHE") == "1":
         return
-    import jax
+    from manuscript_tpu.utils.compile_cache import enable_compile_cache
 
-    cache_dir = os.environ.get(
-        "MANUSCRIPT_TPU_JAX_CACHE",
-        str(Path(__file__).with_name(".jax_bench_cache")),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    enable_compile_cache(str(Path(__file__).with_name(".jax_bench_cache")))
 
 
 _enable_compile_cache()

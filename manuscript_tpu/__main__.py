@@ -171,6 +171,14 @@ def cmd_serve(args):
 
 
 def main(argv=None):
+    # Production cold-start: honor MANUSCRIPT_TPU_JAX_CACHE so a serving
+    # host restarts into warm compiles instead of re-lowering the fused
+    # page program (env-gated — see utils/compile_cache.py for why this
+    # is not safe to default-on for CPU hosts).
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(None)
+
     parser = argparse.ArgumentParser(prog="manuscript_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -134,3 +134,30 @@ def test_ocr_n_devices_builds_mesh(monkeypatch, capsys, image_file):
     mesh = seen["mesh"]
     assert mesh is not None
     assert mesh.shape["data"] == 2 and mesh.shape["model"] == 1
+
+
+def test_compile_cache_env_resolution(monkeypatch, tmp_path):
+    """One env var warms every entry point: MANUSCRIPT_TPU_JAX_CACHE wins
+    over the caller's default dir; with neither, the call is a no-op (CPU
+    hosts must opt in — see utils/compile_cache.py)."""
+    import jax
+
+    from manuscript_tpu.utils.compile_cache import enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("MANUSCRIPT_TPU_JAX_CACHE", raising=False)
+        assert enable_compile_cache(None) is None
+        assert jax.config.jax_compilation_cache_dir == before
+
+        got = enable_compile_cache(str(tmp_path / "default"))
+        assert got == str(tmp_path / "default")
+        assert jax.config.jax_compilation_cache_dir == got
+
+        monkeypatch.setenv("MANUSCRIPT_TPU_JAX_CACHE", str(tmp_path / "env"))
+        assert enable_compile_cache(str(tmp_path / "default")) == str(
+            tmp_path / "env"
+        )
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "env")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
