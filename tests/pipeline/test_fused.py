@@ -342,3 +342,20 @@ class TestCropScale:
         sw = [w.text for b in single.blocks for w in b.words]
         for got in many:
             assert [w.text for b in got.blocks for w in b.words] == sw
+
+    def test_predict_many_prep_error_propagates(self, east, trba, page_image):
+        """An unreadable image inside a chunk must surface as the usual
+        FileNotFoundError from the background prep thread — promptly, with
+        the executor torn down (no hang, no swallowed error)."""
+        from manuscript_tpu.fused import FusedOCR
+
+        east.score_thresh, _ = _calibrated(east, page_image)
+        fused = FusedOCR(
+            east, trba, max_words=8, mode="greedy", batch_pages=2
+        )
+        with pytest.raises(FileNotFoundError):
+            fused.predict_many(
+                [page_image, "/no/such/page.png", page_image, page_image]
+            )
+        # the instance stays usable after the failed call
+        assert len(fused.predict_many([page_image, page_image])) == 2
