@@ -21,5 +21,9 @@ RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-
 # model cache volume (native .msgpack or converted .pth checkpoints)
 VOLUME ["/root/.manuscript_tpu"]
 
+# persistent XLA compile cache: container restarts skip the ~10-40 s
+# per-program compiles (safe here — TPU target; see utils/compile_cache.py)
+ENV MANUSCRIPT_TPU_JAX_CACHE=/root/.manuscript_tpu/jax_cache
+
 EXPOSE 8000
 CMD ["python", "-m", "manuscript_tpu", "serve", "--port", "8000"]
