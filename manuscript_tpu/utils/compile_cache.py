@@ -57,6 +57,17 @@ def enable_compile_cache(
         jax.config.update(
             "jax_persistent_cache_min_entry_size_bytes", min_entry_bytes
         )
-    except Exception:
+    except Exception as exc:
+        # A production host that SET a cache dir but can't use it (readonly
+        # dir, missing config keys on an old JAX) silently reverting to cold
+        # compiles would be invisible — make it observable.
+        import warnings
+
+        warnings.warn(
+            f"persistent compile cache disabled ({cache_dir}): "
+            f"{type(exc).__name__}: {exc}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
     return str(cache_dir)

@@ -145,6 +145,8 @@ def test_compile_cache_env_resolution(monkeypatch, tmp_path):
     from manuscript_tpu.utils.compile_cache import enable_compile_cache
 
     before = jax.config.jax_compilation_cache_dir
+    before_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    before_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
         monkeypatch.delenv("MANUSCRIPT_TPU_JAX_CACHE", raising=False)
         assert enable_compile_cache(None) is None
@@ -161,3 +163,9 @@ def test_compile_cache_env_resolution(monkeypatch, tmp_path):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "env")
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", before_secs
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", before_bytes
+        )
