@@ -41,6 +41,7 @@ def cmd_ocr(args):
         batch_pages=args.batch_pages,
         max_words=args.max_words,
         crop_scale=args.crop_scale,
+        crop_source=args.crop_source,
         mesh=_mesh_from_args(args),
     )
     if len(args.images) > 1 and not args.vis:
@@ -151,6 +152,7 @@ def cmd_serve(args):
         mode=args.mode,
         batch_pages=args.batch_pages,
         max_words=args.max_words,
+        crop_source=args.crop_source,
         mesh=_mesh_from_args(args),
     )
     server = OCRServer(
@@ -200,8 +202,15 @@ def main(argv=None):
     )
     p.add_argument(
         "--crop-scale", type=int, default=1,
-        help="k>1 uploads a (k*target)^2 page copy so fused crops sample "
-             "k-times finer than detector resolution",
+        help="k>1 uploads a (k*target)^2 page copy so device-path crops "
+             "sample k-times finer than detector resolution (implies "
+             "--crop-source device)",
+    )
+    p.add_argument(
+        "--crop-source", choices=["native", "device"], default="native",
+        help="'native' (default): two-phase fused path with the "
+             "reference's exact native-resolution host crops; 'device': "
+             "one-program path cropping from the detector-res copy in HBM",
     )
     p.add_argument(
         "--n-devices", type=int, default=1,
@@ -248,6 +257,10 @@ def main(argv=None):
     p.add_argument(
         "--max-words", default="auto",
         type=lambda v: v if v == "auto" else int(v),
+    )
+    p.add_argument(
+        "--crop-source", choices=["native", "device"], default="native",
+        help="fused crop source (see 'ocr --crop-source')",
     )
     p.add_argument(
         "--max-queue", type=int, default=64,

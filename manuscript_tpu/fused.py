@@ -21,12 +21,35 @@ token ids + confidences, ~100 KB). ``predict_many`` additionally rides
 program — one upload / dispatch / fetch per chunk, with the next chunk
 prepared and dispatched while the current one computes.
 
+``crop_source`` picks where the recognizer's crops come from:
+
+* ``"native"`` (default): a TWO-phase program pair. Phase A is the
+  device detect program (EAST → decode → NMS → postprocess) whose only
+  d2h is the packed word boxes (~10 KB); the host then slices each
+  word's native-resolution region from the original page and applies
+  the reference's exact crop semantics (clamped axis-aligned slice +
+  cv2 aspect-preserving white-pad resize, _pipeline.py:204-221 /
+  transforms.py:62-120), and phase B uploads the fixed-shape crop
+  stack (bytes ∝ word count, ≈0.5 MB/page folded) and runs the TRBA
+  encoder+decoder on device. Full reference crop quality (the r4 bench
+  priced detector-res crops at +0.041 CER) without the k²× full-page
+  upload of ``crop_scale``; in ``predict_many`` the phases of adjacent
+  chunks overlap, so steady-state throughput still approaches
+  max(device compute, link IO).
+* ``"device"``: the original ONE-program path — crops are gathered on
+  device from the detector-resolution page copy already in HBM
+  (``ops/crop_gather.crop_resize_pad_mm``). One h2d + one d2h per page
+  and the lowest possible link cost, at a documented crop-resolution
+  quality delta. ``crop_scale=k`` (implies this path) uploads a
+  (k·target)² page copy to sample crops k× finer.
+
 Documented semantics deltas vs the classic path (all tested):
-* crops are sampled from the detector-resolution image (device-resident)
-  rather than the original-resolution page — bilinear upscale vs cv2
-  INTER_AREA/LINEAR from full-res (measured ~17.7 dB PSNR / 0.71 SSIM vs
-  full-res crops on the bench page; ``crop_scale=k`` trades a k²× larger
-  upload for k× finer crop sampling);
+* ``crop_source="device"`` samples crops from the detector-resolution
+  image (device-resident) rather than the original-resolution page —
+  bilinear upscale vs cv2 INTER_AREA/LINEAR from full-res (measured
+  ~17.7 dB PSNR / 0.71 SSIM vs full-res crops on the bench page;
+  ``crop_scale=k`` trades a k²× larger upload for k× finer crop
+  sampling). ``crop_source="native"`` has no crop delta;
 * LANMS merges chains against the previous candidate rather than the
   running weighted average (ops/lanms_jax.locality_aware_nms_parallel);
 * at most ``max_words`` words are recognized per page (score-descending);
@@ -46,11 +69,13 @@ from PIL import Image
 from .ops.crop_gather import crop_resize_pad_mm
 from .ops.decode import compact_candidates, decode_cells_jax
 from .ops.image import (
+    crop_axis_aligned,
     delta_decode_device,
     delta_encode,
     detector_preprocess_host,
     fold_channels,
     read_image,
+    resize_and_pad,
     unfold_channels_device,
 )
 from .ops.lanms_jax import locality_aware_nms_parallel
@@ -90,6 +115,7 @@ class FusedOCR:
         capacity_buckets: tuple = (32, 64, 128, 256),
         capacity_headroom: int = 8,
         crop_scale: int = 1,
+        crop_source: str = "native",
         mesh=None,
     ):
         """``max_words``: word-capacity slots per page. The TRBA encoder
@@ -144,6 +170,8 @@ class FusedOCR:
             raise ValueError(f"Unknown mode: {mode}")
         if transport not in ("raw", "delta"):
             raise ValueError(f"Unknown transport: {transport}")
+        if crop_source not in ("native", "device"):
+            raise ValueError(f"Unknown crop_source: {crop_source!r}")
         if max_words != "auto" and not isinstance(max_words, int):
             raise ValueError(f"max_words must be an int or 'auto': {max_words!r}")
         self.detector = detector
@@ -165,6 +193,9 @@ class FusedOCR:
         if not (isinstance(crop_scale, int) and crop_scale >= 1):
             raise ValueError(f"crop_scale must be an int >= 1: {crop_scale!r}")
         self.crop_scale = crop_scale
+        # crop_scale only has meaning for device-gathered crops (the native
+        # path already crops at full resolution) — it selects that path
+        self.crop_source = "device" if crop_scale > 1 else crop_source
         self.mesh = mesh
         self._det_vars_mesh = self._rec_vars_mesh = None
         if mesh is not None:
@@ -184,17 +215,30 @@ class FusedOCR:
         self._fn = None
         self._fn_batched = None
         self._count_fns = {}
+        # native-crop two-phase programs: one detect program (depends on
+        # max_boxes) + recognize programs keyed by word capacity
+        self._det_fn = None
+        self._det_fn_batched = None
+        self._rec_fns = {}
+        self._rec_fns_batched = {}
 
     # ------------------------------------------------------------------
 
-    def _build_program(self, stop_after: Optional[str] = None):
+    def _build_program(
+        self, stop_after: Optional[str] = None, detect_only: bool = False
+    ):
         """Build the single-page device program. ``stop_after`` truncates it
         after the named stage and returns a data-dependent f32 scalar
         instead of the packed result — the stage-profiling hook
         (examples/fused_profile.py) measures cumulative prefixes of the
         EXACT production program rather than a hand-mirrored copy. Stages:
         east_forward, decode_compact, lanms, postprocess_crop, trba_cnn,
-        trba_encode, trba_decode(=None, full program minus packing)."""
+        trba_encode, trba_decode(=None, full program minus packing).
+
+        ``detect_only=True`` builds phase A of the native-crop path: the
+        program stops after box postprocessing and packs boxes9 (in-band
+        validity) + the eligible-word count; word selection and cropping
+        then happen on the host at native resolution."""
         det, rec = self.detector, self.recognizer
         east_model, trba_model = det.model, rec.model
         q = det.quantization
@@ -203,13 +247,17 @@ class FusedOCR:
         max_boxes = det.max_boxes
         # snapshot the capacities this program was compiled with — _unpack
         # must keep working even if auto-capacity re-buckets later
-        if self.max_words is None:
-            raise RuntimeError(
-                "word capacity unresolved — call calibrate()/predict() first "
-                "(max_words='auto' sizes capacity from the first page)"
-            )
-        self._built_nb = max_boxes
-        self._built_nw = self.max_words
+        if detect_only:
+            self._det_built_nb = max_boxes
+        else:
+            if self.max_words is None:
+                raise RuntimeError(
+                    "word capacity unresolved — call calibrate()/predict() "
+                    "first (max_words='auto' sizes capacity from the first "
+                    "page)"
+                )
+            self._built_nb = max_boxes
+            self._built_nw = self.max_words
         crop_dtype = self.crop_dtype
         expand_w, expand_h = det.expand_ratio_w, det.expand_ratio_h
         axis_aligned = det.axis_aligned_output
@@ -289,6 +337,18 @@ class FusedOCR:
             big_enough = ((x_max - x_min) >= min_text) & (
                 (y_max - y_min) >= min_text
             )
+            if detect_only:
+                # phase A of the native-crop path: boxes down (~10 KB),
+                # crops later come back UP at native resolution. Validity
+                # rides in-band as score −1 like the full program's packing.
+                out_boxes = boxes9.at[:, 8].set(
+                    jnp.where(bvalid, boxes9[:, 8], -1.0)
+                )
+                n_eligible = jnp.sum(bvalid & big_enough).astype(jnp.float32)
+                return jnp.concatenate([
+                    out_boxes.reshape(-1).astype(jnp.float32),
+                    n_eligible[None],
+                ])
             sel = bvalid & big_enough
             sel = sel & (jnp.cumsum(sel) <= max_words)
             slot = jnp.where(sel, jnp.cumsum(sel) - 1, max_words)
@@ -541,6 +601,7 @@ class FusedOCR:
             det._fused_orig_max_boxes = det.max_boxes
         det.max_boxes = min(det._fused_orig_max_boxes, max(4 * cap, 256))
         self._fn = self._fn_batched = None
+        self._det_fn = self._det_fn_batched = None  # captured old max_boxes
         self._count_fns = {}  # count programs captured the old max_boxes
 
     def _resolve_capacity(self, resized, scale_x, scale_y) -> None:
@@ -599,6 +660,227 @@ class FusedOCR:
                     vf, in_shardings=in_sh, out_shardings=dat
                 )
         return self._fn_batched
+
+    # ---- native-crop two-phase programs --------------------------------
+
+    @property
+    def detect_program(self):
+        """Phase A of the native-crop path (single page): detect → NMS →
+        postprocess, packed boxes9 + eligible count d2h."""
+        if self._det_fn is None:
+            self._det_fn = jax.jit(self._build_program(detect_only=True))
+        return self._det_fn
+
+    @property
+    def detect_program_batched(self):
+        """Phase A vmapped over ``batch_pages`` pages (page axis sharded
+        over the mesh's 'data' axis when one is set, like
+        ``program_batched``)."""
+        if self._det_fn_batched is None:
+            vf = jax.vmap(
+                self._build_program(detect_only=True),
+                in_axes=(None, None, 0, None, None, 0, 0),
+            )
+            if self.mesh is None:
+                self._det_fn_batched = jax.jit(vf)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from .parallel.mesh import DATA_AXIS
+
+                rep = NamedSharding(self.mesh, P())
+                dat = NamedSharding(self.mesh, P(DATA_AXIS))
+                self._det_fn_batched = jax.jit(
+                    vf,
+                    in_shardings=(rep, rep, dat, rep, rep, dat, dat),
+                    out_shardings=dat,
+                )
+        return self._det_fn_batched
+
+    def _build_recognize_program(self, nw: int):
+        """Phase B of the native-crop path: a fixed-shape stack of ``nw``
+        host-prepared crops (ONE tall uint8 strip, optionally channel-folded
+        + row-delta'd like page uploads) → TRBA encode → greedy/beam decode
+        → packed (confs, token ids). The strip layout keeps the upload a
+        single contiguous transfer and reuses the page transport codecs."""
+        rec = self.recognizer
+        trba_model = rec.model
+        mode = self.mode
+        beam_size, alpha, temp = self.beam_size, self.alpha, self.temperature
+        max_len, eos_id = rec.max_length, rec.eos_id
+        img_h, img_w = rec.img_h, rec.img_w
+        transport = self.transport
+
+        def fn(trba_vars, u8_strip):
+            if transport == "delta":
+                u8_strip = delta_decode_device(u8_strip)
+            if u8_strip.ndim == 2:  # channel-folded upload
+                u8_strip = unfold_channels_device(u8_strip)
+            crops = u8_strip.reshape(nw, img_h, img_w, 3)
+            xc = (crops.astype(trba_model.dtype) / 255.0 - 0.5) / 0.5
+            if mode == "greedy":
+                logits, preds = trba_model.apply(
+                    trba_vars, xc, max_len=max_len, method="greedy"
+                )
+            else:
+                logits, preds = trba_model.apply(
+                    trba_vars, xc, max_len=max_len, beam_size=beam_size,
+                    alpha=alpha, temperature=temp, method="beam",
+                )
+            preds, confs = sequence_confidence(logits, preds, eos_id)
+            return jnp.concatenate([
+                confs.astype(jnp.float32),
+                preds.astype(jnp.float32).reshape(-1),
+            ])
+
+        return fn
+
+    def _rec_program(self, nw: int):
+        if nw not in self._rec_fns:
+            self._rec_fns[nw] = jax.jit(self._build_recognize_program(nw))
+        return self._rec_fns[nw]
+
+    def _rec_program_batched(self, nw: int):
+        if nw not in self._rec_fns_batched:
+            vf = jax.vmap(
+                self._build_recognize_program(nw), in_axes=(None, 0)
+            )
+            if self.mesh is None:
+                self._rec_fns_batched[nw] = jax.jit(vf)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from .parallel.mesh import DATA_AXIS
+
+                rep = NamedSharding(self.mesh, P())
+                dat = NamedSharding(self.mesh, P(DATA_AXIS))
+                self._rec_fns_batched[nw] = jax.jit(
+                    vf, in_shardings=(rep, dat), out_shardings=dat
+                )
+        return self._rec_fns_batched[nw]
+
+    # ---- native-crop host stages ---------------------------------------
+
+    def _unpack_detect(self, flat: np.ndarray, nb: int):
+        boxes9 = flat[: nb * 9].reshape(nb, 9)
+        n_eligible = int(np.rint(flat[nb * 9]))
+        bvalid = boxes9[:, 8] >= 0.0
+        return boxes9, bvalid, n_eligible
+
+    def _unpack_rec(self, flat: np.ndarray, nw: int):
+        t = self.recognizer.max_length + (1 if self.mode == "greedy" else 0)
+        confs = flat[:nw]
+        preds = (
+            np.rint(flat[nw : nw + nw * t]).astype(np.int32).reshape(nw, t)
+        )
+        return confs, preds
+
+    def _eligible_rows(self, boxes9: np.ndarray, bvalid: np.ndarray):
+        """Host mirror of the device program's word-selection predicate
+        (floor'd axis-aligned extent ≥ min_text_size, row order) — both run
+        on the same f32 boxes, so the selections are identical."""
+        bq = boxes9[:, :8].reshape(-1, 4, 2)
+        x_min = np.floor(bq[..., 0].min(axis=1))
+        x_max = np.floor(bq[..., 0].max(axis=1))
+        y_min = np.floor(bq[..., 1].min(axis=1))
+        y_max = np.floor(bq[..., 1].max(axis=1))
+        big = ((x_max - x_min) >= self.min_text_size) & (
+            (y_max - y_min) >= self.min_text_size
+        )
+        return np.nonzero(bvalid & big)[0]
+
+    def _native_capacity_for(self, n_eligible: int) -> int:
+        """Word capacity for a native-path dispatch. In auto mode an
+        overflowing page grows ``max_words`` to the covering bucket BEFORE
+        phase B ever runs — unlike the device path's re-run, growth here
+        costs one extra phase-B compile, never a second detection or page
+        upload."""
+        nw = self.max_words
+        if n_eligible > nw and self._auto_capacity:
+            grown = next(
+                (
+                    c
+                    for c in self.capacity_buckets
+                    if c > nw and n_eligible <= c - self._headroom(c)
+                ),
+                self.capacity_buckets[-1],
+            )
+            if grown > nw:
+                self.last_overflow = n_eligible - nw
+                print(
+                    f"[FusedOCR] word capacity {nw} < {n_eligible} eligible "
+                    f"words — growing to {grown} (native path: only the "
+                    "recognize stage re-shapes)"
+                )
+                self.max_words = grown
+                nw = grown
+        return nw
+
+    def _native_strip(self, img: np.ndarray, boxes9: np.ndarray, rows, nw):
+        """Build one page's phase-B input: for each selected word, the
+        reference's exact crop semantics — clamped axis-aligned slice of
+        the ORIGINAL-resolution page (_pipeline.py:204-221) + cv2
+        aspect-preserving white-pad resize (transforms.py:62-120) — stacked
+        into one (nw·img_h, img_w, 3) uint8 strip. Unused slots stay
+        white (the recognizer decodes them to empty; their outputs are
+        dropped at unpack)."""
+        rec = self.recognizer
+        h_c, w_c = rec.img_h, rec.img_w
+        strip = np.full((nw, h_c, w_c, 3), 255, np.uint8)
+        for s, r in enumerate(rows):
+            poly = boxes9[int(r), :8].reshape(4, 2).astype(np.int32)
+            region = crop_axis_aligned(img, poly)
+            if region is not None and region.size > 0:
+                strip[s] = resize_and_pad(region, h_c, w_c)
+        return strip.reshape(nw * h_c, w_c, 3)
+
+    def _predict_native(self, image, vis: bool = False):
+        """Single-page native-crop prediction: phase A dispatch + box
+        fetch, host native-res crops, phase B dispatch + text fetch."""
+        det, rec = self.detector, self.recognizer
+        img = read_image(image)
+        resized = self._encode_transport(
+            detector_preprocess_host(img, det.target_size)
+        )
+        sx = img.shape[1] / det.target_size
+        sy = img.shape[0] / det.target_size
+        self._resolve_capacity(resized, sx, sy)
+        dfn = self.detect_program  # build before reading _det_built_nb
+        nb = self._det_built_nb
+        flat = np.asarray(
+            dfn(
+                det.variables,
+                rec.variables,
+                jnp.asarray(resized),
+                jnp.float32(det.score_thresh),
+                jnp.float32(det.iou_threshold),
+                jnp.float32(sx),
+                jnp.float32(sy),
+            )
+        )
+        boxes9, bvalid, _ = self._unpack_detect(flat, nb)
+        rows_all = self._eligible_rows(boxes9, bvalid)
+        nw = self._native_capacity_for(len(rows_all))
+        rows = rows_all[:nw]
+        self.last_dropped = len(rows_all) - len(rows)
+        if self.last_dropped > 0:
+            self.last_overflow = self.last_dropped
+            print(
+                f"[FusedOCR] word capacity {nw} dropped "
+                f"{self.last_dropped}/{len(rows_all)} words on this page"
+            )
+        strip = self._encode_transport(
+            self._native_strip(img, boxes9, rows, nw)
+        )
+        rflat = np.asarray(
+            self._rec_program(nw)(rec.variables, jnp.asarray(strip))
+        )
+        confs, preds = self._unpack_rec(rflat, nw)
+        src_idx = np.full(nw, -1, np.int32)
+        src_idx[: len(rows)] = rows
+        return self._build_page_result(
+            img, boxes9, bvalid, src_idx, src_idx >= 0, preds, confs, vis
+        )
 
     # ------------------------------------------------------------------
 
@@ -698,6 +980,17 @@ class FusedOCR:
                             img2, outs2, vis, meta2, _retried=True
                         )
 
+        return self._build_page_result(
+            img, boxes9, bvalid, src_idx, wvalid, preds, confs, vis
+        )
+
+    def _build_page_result(
+        self, img, boxes9, bvalid, src_idx, wvalid, preds, confs, vis: bool
+    ):
+        """Boxes + recognition slots → a Page DTO (shared by the one-program
+        and native-crop paths): build Words from valid box rows, attach
+        texts/confidences by the slot→row mapping, apply reading order."""
+        rec = self.recognizer
         words: List[Word] = []
         row_to_word = {}
         for row in np.nonzero(bvalid)[0]:
@@ -743,8 +1036,11 @@ class FusedOCR:
         profile: bool = False,
     ):
         t0 = time.time()
-        img, outs, meta = self._dispatch(image)
-        result = self._finish(img, outs, vis, meta)
+        if self.crop_source == "native":
+            result = self._predict_native(image, vis)
+        else:
+            img, outs, meta = self._dispatch(image)
+            result = self._finish(img, outs, vis, meta)
         if profile:
             print(f"Fused pipeline total: {time.time() - t0:.3f}s")
         return result
@@ -836,6 +1132,145 @@ class FusedOCR:
             for i, img in enumerate(imgs)
         ]
 
+    # ---- native-crop chunk stages (three-stage software pipeline) ------
+
+    def _dispatch_detect_prepared(self, prep) -> tuple:
+        """Native stage 1 (main thread): dispatch phase A for one prepared
+        chunk. Only ``max_boxes`` shapes this program, so capacity growth
+        mid-run never re-detects."""
+        det = self.detector
+        imgs, stack, _hi, sx, sy, first = prep
+        self._resolve_capacity(*first)
+        dvars = (
+            (self._det_vars_mesh, self._rec_vars_mesh)
+            if self.mesh is not None
+            else (det.variables, self.recognizer.variables)
+        )
+        dfn = self.detect_program_batched  # build before _det_built_nb
+        outs = dfn(
+            *dvars,
+            stack,
+            jnp.float32(det.score_thresh),
+            jnp.float32(det.iou_threshold),
+            sx,
+            sy,
+        )
+        return imgs, outs, self._det_built_nb
+
+    def _crop_stage(self, imgs, outs, nb) -> tuple:
+        """Native stage 2 (background thread): fetch the chunk's boxes
+        (blocking d2h — releases the GIL), select words, slice + resize the
+        native-resolution crops (cv2), transport-encode and start the crop
+        stack's upload. Runs concurrently with the device computing the
+        NEXT chunk's phase A and the main thread's other dispatches."""
+        flat = np.asarray(outs)  # (B, nb*9+1)
+        boxes_list, rows_all_list = [], []
+        max_elig = 0
+        for i in range(len(imgs)):
+            boxes9, bvalid, _ = self._unpack_detect(flat[i], nb)
+            boxes_list.append(boxes9)
+            rows_all = self._eligible_rows(boxes9, bvalid)
+            rows_all_list.append(rows_all)
+            max_elig = max(max_elig, len(rows_all))
+        nw = self._native_capacity_for(max_elig)
+        rows_used, strips = [], []
+        dropped = 0
+        for i in range(len(imgs)):
+            rows = rows_all_list[i][:nw]
+            dropped = max(dropped, len(rows_all_list[i]) - len(rows))
+            rows_used.append(rows)
+            strips.append(
+                self._native_strip(imgs[i], boxes_list[i], rows, nw)
+            )
+        for _ in range(self.batch_pages - len(imgs)):  # pad short chunks
+            strips.append(strips[-1])
+        strips = self._encode_stack(strips)
+        stack = np.stack(strips)
+        if self.mesh is None:
+            stack = jax.device_put(stack)  # start the h2d now
+        return imgs, boxes_list, rows_used, stack, nw, dropped
+
+    def _dispatch_rec_chunk(self, crop_res) -> tuple:
+        """Native stage 3 (main thread): dispatch phase B on the prepared
+        crop stack."""
+        imgs, boxes_list, rows_used, stack, nw, dropped = crop_res
+        rvars = (
+            self._rec_vars_mesh
+            if self.mesh is not None
+            else self.recognizer.variables
+        )
+        outs = self._rec_program_batched(nw)(rvars, stack)
+        return imgs, boxes_list, rows_used, outs, nw, dropped
+
+    def _finish_rec_chunk(self, rec_res, vis: bool) -> List[Any]:
+        imgs, boxes_list, rows_used, outs, nw, dropped = rec_res
+        flat = np.asarray(outs)  # (B, rec_flat) — single d2h
+        self.last_dropped = dropped
+        pages = []
+        for i, img in enumerate(imgs):
+            confs, preds = self._unpack_rec(flat[i], nw)
+            boxes9 = boxes_list[i]
+            src_idx = np.full(nw, -1, np.int32)
+            src_idx[: len(rows_used[i])] = rows_used[i]
+            pages.append(
+                self._build_page_result(
+                    img, boxes9, boxes9[:, 8] >= 0.0, src_idx,
+                    src_idx >= 0, preds, confs, vis,
+                )
+            )
+        return pages
+
+    def _predict_many_native(
+        self, images, vis: bool, queue_depth: int
+    ) -> List[Any]:
+        """Chunked native-crop inference as a three-stage software pipeline:
+        page prep (thread A) → phase A dispatch (main) → box fetch + cv2
+        crops + crop upload (thread B) → phase B dispatch (main) → result
+        fetch (main). In steady state chunk i's host crop work and both
+        link transfers hide behind the device computing chunks i±1, so the
+        extra round trip the two-phase split adds costs latency, not
+        throughput."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        b = max(1, self.batch_pages)
+        chunks = [images[i : i + b] for i in range(0, len(images), b)]
+        n = len(chunks)
+        results: List[Any] = []
+        window = queue_depth + 1
+        with ThreadPoolExecutor(max_workers=1) as prep_ex, \
+                ThreadPoolExecutor(max_workers=1) as crop_ex:
+            prep_f, crop_f, rec_r = {}, {}, {}
+            next_prep = 0
+
+            def fill_preps(upto: int) -> None:
+                nonlocal next_prep
+                while next_prep < min(n, upto):
+                    prep_f[next_prep] = prep_ex.submit(
+                        self._prepare_chunk, chunks[next_prep]
+                    )
+                    next_prep += 1
+
+            for i in range(n):
+                fill_preps(i + window)
+                if i >= 1:
+                    rec_r[i - 1] = self._dispatch_rec_chunk(
+                        crop_f.pop(i - 1).result()
+                    )
+                det_i = self._dispatch_detect_prepared(
+                    prep_f.pop(i).result()
+                )
+                crop_f[i] = crop_ex.submit(self._crop_stage, *det_i)
+                if i >= 2:
+                    results.extend(
+                        self._finish_rec_chunk(rec_r.pop(i - 2), vis)
+                    )
+            rec_r[n - 1] = self._dispatch_rec_chunk(
+                crop_f.pop(n - 1).result()
+            )
+            for i in sorted(rec_r):
+                results.extend(self._finish_rec_chunk(rec_r[i], vis))
+        return results
+
     def predict_many(
         self,
         images: List[Union[str, np.ndarray, Image.Image]],
@@ -855,7 +1290,9 @@ class FusedOCR:
         before (≈146 ms/chunk against 80 ms device compute)."""
         t0 = time.time()
         results: List[Any] = []
-        if self.batch_pages <= 1:
+        if self.crop_source == "native" and images:
+            results = self._predict_many_native(images, vis, queue_depth)
+        elif self.batch_pages <= 1:
             pending: List[tuple] = []
             for image in images:
                 pending.append(self._dispatch(image))

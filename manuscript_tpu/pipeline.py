@@ -43,6 +43,7 @@ class Pipeline:
         max_words: Union[int, str] = "auto",
         batch_pages: int = 4,
         crop_scale: int = 1,
+        crop_source: str = "native",
         mesh=None,
     ):
         """OCR pipeline over a pluggable detector + recognizer.
@@ -62,8 +63,13 @@ class Pipeline:
         ``batch_pages``
         is how many pages ``process_batch`` rides through one vmapped
         device program (one upload/dispatch/fetch per chunk);
-        ``crop_scale=k`` uploads a (k·target)² page copy so fused crops
-        sample k× finer than detector resolution (fused.FusedOCR);
+        ``crop_source`` picks the fused path's crop source — "native"
+        (default) runs the two-phase program pair whose crops are the
+        reference's exact native-resolution host crops; "device" runs the
+        one-program path that gathers crops from the detector-resolution
+        copy in HBM (lowest link cost, documented resolution delta);
+        ``crop_scale=k`` uploads a (k·target)² page copy so device-path
+        crops sample k× finer than detector resolution (fused.FusedOCR);
         ``mesh`` (a ``jax.sharding.Mesh``, see parallel.mesh.make_mesh)
         shards the fused multi-page program's page axis over the mesh's
         'data' axis — multi-chip inference for ``process_batch``/serving.
@@ -100,6 +106,7 @@ class Pipeline:
                     min_text_size=min_text_size,
                     batch_pages=batch_pages,
                     crop_scale=crop_scale,
+                    crop_source=crop_source,
                     mesh=mesh,
                 )
             elif fused is True:

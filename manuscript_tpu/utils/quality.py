@@ -155,6 +155,7 @@ def evaluate_quality(
     seed: int = 9000,
     mode: str = "greedy",
     crop_scale: int = 1,
+    crop_source: str = "native",
     use_fused: bool = True,
     models: Optional[Tuple] = None,
     mesh=None,
@@ -175,6 +176,7 @@ def evaluate_quality(
         mode=mode,
         max_words=64,
         crop_scale=crop_scale,
+        crop_source=crop_source,
         mesh=mesh,
     )
     if use_fused:

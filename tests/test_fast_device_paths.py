@@ -112,7 +112,8 @@ def test_fused_mesh_inference_2dev(tiny_east, tiny_trba, tiny_page):
     mesh_pages = f._finish_chunk(imgs, outs, vis=False, meta=meta)
 
     base = FusedOCR(
-        tiny_east, tiny_trba, max_words=8, mode="greedy", batch_pages=2
+        tiny_east, tiny_trba, max_words=8, mode="greedy", batch_pages=2,
+        crop_source="device",  # like-for-like with the _dispatch_chunk path
     )
     base_pages = base.predict_many(pages)
     for mp, bp in zip(mesh_pages, base_pages):
