@@ -293,7 +293,28 @@ def main():
         pages_per_sec,
         "pages/s",
         vs_baseline=pages_per_sec / REFERENCE_PAGES_PER_SEC,
-        config="beam8_T1.7_a0.9_auto_capacity (the Pipeline default)",
+        config="beam8_T1.7_a0.9_auto_capacity_native_crops "
+               "(the Pipeline default)",
+        link_probe_s=round(probe0, 4),
+    )
+
+    # probe-normalized primary (VERDICT r4 weak #3 / task 4): scale the
+    # primary by (probe_now / probe_ref) so "code got slower" is separable
+    # from "link got slower" across driver runs. probe_ref is the r4
+    # good-weather probe floor (BASELINE.md link probes: 0.075-0.086 s).
+    # Additive model: each page pays ~one probe's worth of link IO (page
+    # upload + result fetch, byte-dominated by the upload the probe
+    # replays), so the per-page time is shifted by (probe_now − probe_ref)
+    # before inverting. Approximate (overlap hides part of the IO) but
+    # enough to tell a 2× link swing from a device regression; the hard
+    # gate on code speed is the device-only line + tests/test_perf_gate.py.
+    PROBE_REF_S = 0.080
+    norm_dt = max(dt - n_pages * (probe0 - PROBE_REF_S), 1e-6)
+    emit(
+        "e2e_pages_per_sec_link_normalized",
+        n_pages / norm_dt,
+        "pages/s_at_reference_link",
+        probe_ref_s=PROBE_REF_S,
         link_probe_s=round(probe0, 4),
     )
 
@@ -335,6 +356,30 @@ def main():
         config="measured after the primary — the link throttles on "
                "cumulative volume, so greedy<=beam here is ordering, "
                "not decode cost (decode is ~1-2 ms of a 21 ms page)",
+    )
+
+    # ---- device-crop one-program secondary (crop_source="device"): the
+    # minimum-link-cost configuration the r1-r4 primaries measured —
+    # emitted so the native-default primary's cost is priced in-run.
+    fused_d = FusedOCR(
+        east, trba, max_words=fused.max_words, mode="beam",
+        batch_pages=fused.batch_pages, crop_source="device",
+    )
+    fused_d.predict_many(chunk)  # compile+warm
+    d_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fused_d.predict_many(run_pages)
+        d_times.append(time.perf_counter() - t0)
+    d_dt = statistics.median(d_times)
+    raw["fused_devicecrop_batch_s"] = d_times
+    emit(
+        "e2e_devicecrop_pages_per_sec",
+        n_pages / d_dt,
+        "pages/s",
+        vs_baseline=(n_pages / d_dt) / REFERENCE_PAGES_PER_SEC,
+        config="one-program path, detector-res crops (the r1-r4 primary "
+               "config), beam default",
     )
 
     # per-page latency distribution (single dispatch, no pipelining) —
@@ -536,8 +581,18 @@ def main():
             emit("e2e_synthetic_cer", qm["e2e_cer"], "cer",
                  word_acc=round(qm["word_acc"], 4),
                  matched_cer=round(qm["matched_cer"], 4),
-                 config="fused beam, crop_scale=1, micro ckpts")
-            raw["quality_beam"] = qm
+                 config="fused beam, native crops (the default), "
+                        "micro ckpts")
+            raw["quality_beam_native"] = qm
+            qmd = evaluate_quality(
+                n_pages=8, seed=9000, mode="beam", crop_source="device",
+                models=qmodels,
+            )
+            emit("e2e_synthetic_cer_devicecrop", qmd["e2e_cer"], "cer",
+                 word_acc=round(qmd["word_acc"], 4),
+                 config="one-program path, detector-res crops "
+                        "(r4's default)")
+            raw["quality_devicecrop"] = qmd
             qm2 = evaluate_quality(
                 n_pages=8, seed=9000, mode="beam", crop_scale=2,
                 models=qmodels,
@@ -575,7 +630,17 @@ def main():
         config="beam default (r2 and earlier measured greedy here)",
     )
 
-    # ---- config 5: training-step throughput (small shapes) ----
+    # ---- config 5: training-step throughput at REFERENCE SCALE ----
+    # (VERDICT r4 task 2: r1-r4 measured toy shapes — 128² EAST,
+    # hidden-128/100-class TRBA — which say nothing about real training
+    # economics.) Reference-scale here means the shapes the reference
+    # actually trains: EAST at target_size=1024 (train.py default,
+    # infer.py:415) at batch 8 (reference default is 3 — too small to fill
+    # the MXU; same per-sample program), TRBA at hidden 256 / 194 classes /
+    # batch 128 / 32×128 crops / max_len 40
+    # (recognizers/_trba/configs/config.json:19-24). Both in bf16 compute
+    # (f32 params/loss). Train-step MFU comes from XLA cost analysis of
+    # the SAME jitted step that is timed.
     try:
         import jax
         import optax
@@ -597,11 +662,23 @@ def main():
             float(np.asarray(loss))  # force completion of the whole chain
             return n / (time.perf_counter() - t0)
 
-        side = 64 if smoke else 128
-        bsz = 2 if smoke else 4
-        em = EASTModel(backbone="resnet50", dtype=jnp.float32)
+        def step_flops(jitted, *args):
+            try:
+                cost = jitted.lower(*args).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                return float(cost.get("flops", 0.0))
+            except Exception:
+                return 0.0
+
+        side = 64 if smoke else 1024
+        bsz = 2 if smoke else 8
+        em = EASTModel(
+            backbone="resnet50",
+            dtype=jnp.float32 if smoke else jnp.bfloat16,
+        )
         ev = em.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, side, side, 3), jnp.float32)
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
         )
         tx, _ = build_east_optimizer(1e-3, steps_per_epoch=10, use_sam=True)
         est = {
@@ -624,25 +701,44 @@ def main():
             )
             return loss
 
+        e_sps = sustained_steps(east_step, n=3 if smoke else 10)
+        e_flops = step_flops(
+            estep, est["p"], est["bs"], est["o"], est["ema"],
+            img_b, sc_b, geo_b,
+        )
         emit(
             "east_sam_train_steps_per_sec",
-            sustained_steps(east_step),
+            e_sps,
             "steps/s",
-            config=f"{side}^2 batch {bsz}, SAM+OHEM+focal+EMA",
+            config=f"{side}^2 batch {bsz} bf16, SAM+OHEM+focal+EMA "
+                   "(reference train.py scale; r1-r4 measured 128^2 b4)",
         )
+        if e_flops > 0:
+            emit(
+                "east_train_step_mfu",
+                e_flops * e_sps / PEAK_FLOPS_BF16,
+                "fraction_of_v5e_bf16_peak",
+                flops_per_step=e_flops,
+            )
 
-        tm_t = TRBAModel(num_classes=100, hidden_size=128, dtype=jnp.float32)
+        t_b = 4 if smoke else 128
+        t_len = 9 if smoke else 41  # reference max_len 40 (+SOS)
+        tm_t = TRBAModel(
+            num_classes=20 if smoke else 194,
+            hidden_size=32 if smoke else 256,
+            dtype=jnp.float32 if smoke else jnp.bfloat16,
+        )
         tv = tm_t.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, 32, 128, 3), jnp.float32),
-            jnp.zeros((1, 9), jnp.int32),
+            jnp.zeros((1, t_len), jnp.int32),
         )
         ttx = optax.adam(1e-3)
         tst = {"p": tv["params"], "bs": tv["batch_stats"], "o": ttx.init(tv["params"])}
         tstep = make_trba_step(tm_t, ttx, pad_id=0)
-        timg = jnp.zeros((16, 32, 128, 3), jnp.uint8)
-        ttin = jnp.ones((16, 9), jnp.int32)
-        tty = jnp.ones((16, 9), jnp.int32)
+        timg = jnp.zeros((t_b, 32, 128, 3), jnp.uint8)
+        ttin = jnp.ones((t_b, t_len), jnp.int32)
+        tty = jnp.ones((t_b, t_len), jnp.int32)
 
         def trba_step():
             tst["p"], tst["bs"], tst["o"], loss = tstep(
@@ -651,15 +747,115 @@ def main():
             )
             return loss
 
+        t_sps = sustained_steps(trba_step, n=3 if smoke else 10)
+        t_flops = step_flops(
+            tstep, tst["p"], tst["bs"], tst["o"], jax.random.PRNGKey(1),
+            jnp.float32(1.0), timg, ttin, tty,
+        )
         emit(
             "trba_train_steps_per_sec",
-            sustained_steps(trba_step),
+            t_sps,
             "steps/s",
-            config="32x128 batch 16, CE teacher-forced",
+            config=f"32x128 batch {t_b} hidden "
+                   f"{256 if not smoke else 32} classes "
+                   f"{194 if not smoke else 20} len {t_len} bf16, CE "
+                   "teacher-forced (reference config.json scale; r1-r4 "
+                   "measured b16 h128 c100)",
         )
+        if t_flops > 0:
+            emit(
+                "trba_train_step_mfu",
+                t_flops * t_sps / PEAK_FLOPS_BF16,
+                "fraction_of_v5e_bf16_peak",
+                flops_per_step=t_flops,
+            )
     except Exception as exc:
         raw["train_bench_error"] = repr(exc)
 
+
+    # ---- serving-path throughput/latency (VERDICT r4 task 3): the FULL
+    # HTTP stack — parse → npy decode → bounded queue → two-stage
+    # pipelined batcher (start_batch/finish_batch overlap) → fused device
+    # program → JSON — measured in-process with closed-loop clients.
+    try:
+        import io as _io
+        import threading
+        import urllib.request
+
+        from manuscript_tpu.pipeline import Pipeline
+        from manuscript_tpu.serve import OCRServer
+
+        spipe = Pipeline(
+            detector=east, recognizer=trba, mode="beam",
+            max_words=fused.max_words, batch_pages=fused.batch_pages,
+        )
+        spipe.predict(pages[0])  # warm single-page program
+        spipe.process_batch(pages[: fused.batch_pages])  # warm chunked
+        srv = OCRServer(
+            spipe, host="127.0.0.1", port=0,
+            batch_pages=fused.batch_pages, batch_wait_ms=10.0,
+        )
+        srv.start_background()
+        buf = _io.BytesIO()
+        np.save(buf, pages[0])
+        body = buf.getvalue()
+        url = f"http://127.0.0.1:{srv.port}/ocr"
+        serve_secs = 3.0 if smoke else 12.0
+        stop_at = time.perf_counter() + serve_secs
+        lat: list = []
+        s_errors = [0]
+        s_lock = threading.Lock()
+
+        def _client():
+            while time.perf_counter() < stop_at:
+                t0 = time.perf_counter()
+                try:
+                    req = urllib.request.Request(
+                        url, data=body, method="POST"
+                    )
+                    with urllib.request.urlopen(req, timeout=120) as resp:
+                        ok = resp.status == 200 and bool(resp.read())
+                except Exception:
+                    ok = False
+                d = time.perf_counter() - t0
+                with s_lock:
+                    (lat.append(d) if ok else s_errors.__setitem__(
+                        0, s_errors[0] + 1
+                    ))
+
+        n_clients = 3 if smoke else 12
+        t_sv = time.perf_counter()
+        cthreads = [
+            threading.Thread(target=_client) for _ in range(n_clients)
+        ]
+        for t in cthreads:
+            t.start()
+        for t in cthreads:
+            t.join()
+        sv_elapsed = time.perf_counter() - t_sv
+        srv.shutdown()
+        if lat:
+            ls = sorted(lat)
+            n_ok = len(ls)
+            emit(
+                "serve_pages_per_sec",
+                n_ok / sv_elapsed,
+                "pages/s",
+                vs_baseline=(n_ok / sv_elapsed) / REFERENCE_PAGES_PER_SEC,
+                clients=n_clients,
+                errors=s_errors[0],
+                config="HTTP npy bodies, pipelined batcher, beam default",
+            )
+            emit("serve_latency_p50_s", statistics.median(ls), "s")
+            emit("serve_latency_p99_s", ls[int(0.99 * (n_ok - 1))], "s")
+            raw["serve"] = {
+                "n_ok": n_ok, "errors": s_errors[0],
+                "elapsed_s": sv_elapsed,
+            }
+        else:
+            raw["serve_error"] = f"no successful requests ({s_errors[0]})"
+    except Exception as exc:
+        raw["serve_error"] = repr(exc)
 
     # ---- primary config AGAIN, at the end of the run (worst link state),
     # plus the closing link probe: the primary's robustness across link
@@ -693,5 +889,51 @@ def main():
     return primary
 
 
+def perf_gate():
+    """Chip-only regression gate (VERDICT r4 task 4): measure the two
+    LINK-INDEPENDENT numbers — device-only fused throughput (inputs in
+    HBM, scalar fence) and program MFU — and print them as one JSON line.
+    tests/test_perf_gate.py runs this in a subprocess on the real chip and
+    asserts hard floors (≥45 pages/s, ≥0.28 MFU at the r4/r5 recorded
+    49.5-50.1 / 0.30), so a device-side regression fails the suite even
+    when the tunnel link is having bad weather."""
+    import jax
+    import jax.numpy as jnp
+
+    from manuscript_tpu.detectors import EAST
+    from manuscript_tpu.fused import FusedOCR
+    from manuscript_tpu.recognizers import TRBA
+
+    east = EAST(target_size=1280, max_candidates=4096, dtype=jnp.bfloat16)
+    trba = TRBA(dtype=jnp.bfloat16)
+    pages = [build_page(i) for i in range(6)]
+    fused = FusedOCR(east, trba)
+    thresh, _ = fused.calibrate(pages[0], target_max_words=250)
+    pps, _ = device_only_throughput(fused, pages)
+    out = {"device_only_pages_per_sec": round(pps, 3)}
+    lowered = fused.program.lower(
+        east.variables, trba.variables,
+        jnp.zeros((east.target_size, east.target_size, 3), jnp.uint8),
+        jnp.float32(thresh), jnp.float32(east.iou_threshold),
+        jnp.float32(1.5), jnp.float32(2.0),
+    )
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    if flops > 0:
+        out["program_mfu"] = round(flops * pps / PEAK_FLOPS_BF16, 4)
+        out["flops_per_page"] = flops
+    out["word_capacity"] = fused.max_words
+    out["backend"] = jax.default_backend()
+    print("PERF_GATE " + json.dumps(out), flush=True)
+    return out
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--perf-gate" in sys.argv:
+        perf_gate()
+    else:
+        main()

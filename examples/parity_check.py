@@ -80,6 +80,15 @@ def main():
              "(manuscript_tpu/configs/quality) instead of released weights",
     )
     ap.add_argument("--fixture", default=str(DEFAULT_FIXTURE))
+    ap.add_argument(
+        "--mode", choices=("greedy", "beam"), default="greedy",
+        help="decode mode recorded in / expected by the fixture",
+    )
+    ap.add_argument(
+        "--max-words", default="64",
+        help="fused word capacity ('auto' or an int), recorded in the "
+             "fixture",
+    )
     ap.add_argument("--write-fixture", action="store_true")
     ap.add_argument("--pin-hashes", action="store_true",
                     help="fetch the released artifacts and pin their sha256s "
@@ -127,8 +136,9 @@ def main():
         from manuscript_tpu.utils.quality import load_quality_models
 
         east, trba = load_quality_models()
+        mw = args.max_words if args.max_words == "auto" else int(args.max_words)
         pipe = Pipeline(
-            detector=east, recognizer=trba, mode="greedy", max_words=64
+            detector=east, recognizer=trba, mode=args.mode, max_words=mw
         )
     else:
         pipe = Pipeline()  # default EAST + TRBA with released weights
@@ -146,8 +156,15 @@ def main():
 
     if args.write_fixture:
         Path(args.fixture).write_text(
-            json.dumps({"image": source, "words": words},
-                       ensure_ascii=False, indent=1)
+            json.dumps(
+                {
+                    "image": source,
+                    "mode": args.mode,
+                    "max_words": args.max_words,
+                    "words": words,
+                },
+                ensure_ascii=False, indent=1,
+            )
         )
         print(f"wrote {len(words)} words to {args.fixture}")
         return 0

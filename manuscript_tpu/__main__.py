@@ -144,6 +144,12 @@ def cmd_bench(args):
         sys.exit(1)
 
 
+def cmd_sweep_report(args):
+    from .utils.sweep import sweep_report
+
+    print(sweep_report(args.storage, out_html=args.out))
+
+
 def cmd_serve(args):
     from . import Pipeline
     from .serve import OCRServer
@@ -239,6 +245,16 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the standard benchmark")
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser(
+        "sweep-report",
+        help="summarize a hyperparameter study (utils.sweep storage) and "
+             "optionally render a self-contained HTML report — the "
+             "optuna-dashboard analog",
+    )
+    p.add_argument("storage", help=".json or .db/.sqlite study storage")
+    p.add_argument("--out", help="write an HTML report here")
+    p.set_defaults(func=cmd_sweep_report)
 
     p = sub.add_parser(
         "serve", help="HTTP OCR server with micro-batched device dispatch"

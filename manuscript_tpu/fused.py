@@ -221,6 +221,8 @@ class FusedOCR:
         self._det_fn_batched = None
         self._rec_fns = {}
         self._rec_fns_batched = {}
+        self._warmed_buckets = set()
+        self._warm_thread = None
 
     # ------------------------------------------------------------------
 
@@ -1110,12 +1112,12 @@ class FusedOCR:
         )
         outs = self.program_batched(
             *dvars,
-            stack,
-            *hi,
-            jnp.float32(det.score_thresh),
-            jnp.float32(det.iou_threshold),
-            sx,
-            sy,
+            self._stage_sharded(stack),
+            *(self._stage_sharded(h) for h in hi),
+            np.float32(det.score_thresh),
+            np.float32(det.iou_threshold),
+            self._stage_sharded(sx),
+            self._stage_sharded(sy),
         )
         return imgs, outs, (self._built_nb, self._built_nw)
 
@@ -1126,7 +1128,7 @@ class FusedOCR:
         return self._dispatch_prepared(self._prepare_chunk(chunk))
 
     def _finish_chunk(self, imgs, outs, vis: bool, meta) -> List[Any]:
-        flat = np.asarray(outs)  # (B, page_flat) — single d2h
+        flat = self._fetch(outs)  # (B, page_flat) — single d2h
         return [
             self._finish(img, flat[i], vis, meta)
             for i, img in enumerate(imgs)
@@ -1149,11 +1151,11 @@ class FusedOCR:
         dfn = self.detect_program_batched  # build before _det_built_nb
         outs = dfn(
             *dvars,
-            stack,
-            jnp.float32(det.score_thresh),
-            jnp.float32(det.iou_threshold),
-            sx,
-            sy,
+            self._stage_sharded(stack),
+            np.float32(det.score_thresh),
+            np.float32(det.iou_threshold),
+            self._stage_sharded(sx),
+            self._stage_sharded(sy),
         )
         return imgs, outs, self._det_built_nb
 
@@ -1163,7 +1165,7 @@ class FusedOCR:
         native-resolution crops (cv2), transport-encode and start the crop
         stack's upload. Runs concurrently with the device computing the
         NEXT chunk's phase A and the main thread's other dispatches."""
-        flat = np.asarray(outs)  # (B, nb*9+1)
+        flat = self._fetch(outs)  # (B, nb*9+1)
         boxes_list, rows_all_list = [], []
         max_elig = 0
         for i in range(len(imgs)):
@@ -1188,6 +1190,8 @@ class FusedOCR:
         stack = np.stack(strips)
         if self.mesh is None:
             stack = jax.device_put(stack)  # start the h2d now
+        else:
+            stack = self._stage_sharded(stack)
         return imgs, boxes_list, rows_used, stack, nw, dropped
 
     def _dispatch_rec_chunk(self, crop_res) -> tuple:
@@ -1204,7 +1208,7 @@ class FusedOCR:
 
     def _finish_rec_chunk(self, rec_res, vis: bool) -> List[Any]:
         imgs, boxes_list, rows_used, outs, nw, dropped = rec_res
-        flat = np.asarray(outs)  # (B, rec_flat) — single d2h
+        flat = self._fetch(outs)  # (B, rec_flat) — single d2h
         self.last_dropped = dropped
         pages = []
         for i, img in enumerate(imgs):
@@ -1219,6 +1223,128 @@ class FusedOCR:
                 )
             )
         return pages
+
+    # ---- multi-host plumbing -------------------------------------------
+
+    def _stage_sharded(self, arr):
+        """Host array → input for a data-sharded jit argument. Single
+        process: return the numpy as-is (jit's ``in_shardings`` places
+        each page shard directly, no staging copy). Multi-process (mesh
+        spans hosts): every process holds the SAME full host array, so
+        build the global array via callback — each process's devices pull
+        only their own page rows."""
+        if self.mesh is None or jax.process_count() == 1:
+            return arr
+
+        from .parallel.mesh import data_sharding
+
+        sh = data_sharding(self.mesh, np.ndim(arr))
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+
+    def _fetch(self, outs) -> np.ndarray:
+        """Device results → host numpy. Multi-process sharded outputs are
+        allgathered so every process can build every page (the buffers are
+        ~100 KB/page — the collective is noise next to the compute)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(outs, tiled=True)
+            )
+        return np.asarray(outs)
+
+    # ---- capacity-bucket pre-warming -----------------------------------
+
+    def warm_next_bucket(self, block: bool = False):
+        """Pre-compile the NEXT capacity bucket's recognize programs in a
+        background thread (VERDICT r4 task 8). Auto-capacity growth on the
+        first dense page otherwise pays a cold phase-B compile on the hot
+        path — seconds of added latency on a production request. Phase A
+        is capacity-independent on the native path, so warming the next
+        bucket's batched recognize program (both the channel-folded and
+        RGB strip variants) makes an overflow re-shape compile-free. The
+        warm EXECUTES the jitted programs on zero inputs (one tiny
+        dispatch each) because only a real call populates jit's dispatch
+        cache. Idempotent per bucket; returns the warmer thread, or None
+        when there is nothing to warm (pinned capacity — it never grows —
+        capacity unresolved, top bucket reached, device-crop path, or
+        already warmed). The thread is a daemon: a process exiting while
+        a warm compile is in flight can abort noisily, so callers with a
+        shutdown path should join ``_warm_thread`` briefly (OCRServer
+        does)."""
+        if (
+            not self._auto_capacity
+            or self.max_words is None
+            or self.crop_source != "native"
+        ):
+            return None
+        nxt = next(
+            (c for c in self.capacity_buckets if c > self.max_words), None
+        )
+        if nxt is None or nxt in self._warmed_buckets:
+            return None
+        self._warmed_buckets.add(nxt)
+
+        def _warm(nw=nxt):
+            try:
+                rec = self.recognizer
+                h, w = rec.img_h, rec.img_w
+                fnb = self._rec_program_batched(nw)
+                rvars = (
+                    self._rec_vars_mesh
+                    if self.mesh is not None
+                    else rec.variables
+                )
+                for shape in (
+                    (self.batch_pages, nw * h, w),  # channel-folded strip
+                    (self.batch_pages, nw * h, w, 3),  # RGB strip
+                ):
+                    stack = np.zeros(shape, np.uint8)
+                    if self.mesh is None:
+                        # committed like _crop_stage's input — an
+                        # uncommitted warm array would miss the jit
+                        # dispatch cache the real call keys on
+                        stack = jax.device_put(stack)
+                    np.asarray(fnb(rvars, stack))
+            except Exception as exc:  # pragma: no cover — never crash prod
+                print(f"[FusedOCR] bucket warmer failed: {exc!r}")
+
+        import threading
+
+        t = threading.Thread(
+            target=_warm, name=f"fused-warm-{nxt}", daemon=True
+        )
+        t.start()
+        self._warm_thread = t
+        if block:
+            t.join()
+        return t
+
+    # ---- async chunk API (serving overlap) -----------------------------
+
+    def start_batch(self, images: List[Any]):
+        """Begin one chunk asynchronously: host prep + device dispatch of
+        everything that does NOT require waiting on device results. The
+        serving layer calls this from its assembler thread so batch N+1's
+        decode/resize/upload and phase-A dispatch overlap batch N's device
+        compute and result fetch (VERDICT r4 task 3); ``finish_batch``
+        blocks for the results. One start/finish pair per chunk, FIFO."""
+        prep = self._prepare_chunk(images)
+        if self.crop_source == "native":
+            return ("native", self._dispatch_detect_prepared(prep))
+        return ("device", self._dispatch_prepared(prep))
+
+    def finish_batch(self, handle) -> List[Any]:
+        """Complete a ``start_batch`` chunk: block on device results (and,
+        on the native path, run the crop stage + phase B) and build pages."""
+        kind, payload = handle
+        if kind == "native":
+            rec = self._dispatch_rec_chunk(self._crop_stage(*payload))
+            return self._finish_rec_chunk(rec, vis=False)
+        imgs, outs, meta = payload
+        return self._finish_chunk(imgs, outs, False, meta)
 
     def _predict_many_native(
         self, images, vis: bool, queue_depth: int

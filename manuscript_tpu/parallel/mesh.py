@@ -120,6 +120,16 @@ def replicate(tree, mesh: Mesh):
     memcpy, and the device buffers can never alias the caller's arrays.
     """
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        # multi-host: device_put can't target non-addressable devices;
+        # every process holds the same host values, so build the global
+        # replicated array via callback (each process fills its shards)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_callback(
+                np.shape(x), sharding, lambda idx, _x=x: np.asarray(_x)[idx]
+            ),
+            tree,
+        )
     if mesh.devices.ravel()[0].platform == "cpu":
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(np.array(x), sharding), tree

@@ -348,6 +348,23 @@ class Pipeline:
             print(f"Batch pipeline total: {time.time() - t_start:.3f}s")
         return pages
 
+    def start_batch(self, images: List[Union[str, np.ndarray, Image.Image]]):
+        """Async half of ``process_batch`` for the serving layer: on the
+        fused path, run host prep + device dispatch now (so the caller can
+        overlap the next batch's prep with this one's device compute) and
+        return a handle for :meth:`finish_batch`. Non-fused pipelines have
+        no async stage — the handle just carries the images."""
+        if self._fused is not None:
+            return ("fused", self._fused.start_batch(images))
+        return ("classic", images)
+
+    def finish_batch(self, handle) -> List[Any]:
+        """Block for a ``start_batch`` handle's pages."""
+        kind, payload = handle
+        if kind == "fused":
+            return self._fused.finish_batch(payload)
+        return self.process_batch(payload)
+
     def get_text(self, page) -> str:
         """Join recognized words per block (x-sorted), blocks on new lines."""
         lines = []

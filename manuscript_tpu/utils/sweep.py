@@ -335,3 +335,144 @@ class Study:
                 f"{t['params']}"
             )
         return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# reporting (the optuna-dashboard analog — reference example3_optuna.py:
+# 377-405 auto-launches optuna-dashboard over the sqlite storage; here the
+# same storage renders to a dependency-free self-contained HTML report)
+
+
+def load_study(storage: Union[str, Path]):
+    """Read a study's (trials, direction) from json/sqlite storage."""
+    trials, direction = _make_storage(storage).load()
+    return trials, (direction or "maximize")
+
+
+def _svg_scatter(points, w=640, h=240, best_line=None, title=""):
+    """Tiny inline-SVG scatter (x, y) with an optional running-best line."""
+    if not points:
+        return f"<p>(no data for {title})</p>"
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    xr = (x1 - x0) or 1.0
+    yr = (y1 - y0) or 1.0
+    pad = 30
+
+    def sx(x):
+        return pad + (x - x0) / xr * (w - 2 * pad)
+
+    def sy(y):
+        return h - pad - (y - y0) / yr * (h - 2 * pad)
+
+    dots = "".join(
+        f'<circle cx="{sx(x):.1f}" cy="{sy(y):.1f}" r="3" '
+        'fill="#2b6cb0" fill-opacity="0.75"/>'
+        for x, y in points
+    )
+    line = ""
+    if best_line:
+        pts = " ".join(f"{sx(x):.1f},{sy(y):.1f}" for x, y in best_line)
+        line = (
+            f'<polyline points="{pts}" fill="none" stroke="#c05621" '
+            'stroke-width="2"/>'
+        )
+    return (
+        f"<h3>{title}</h3>"
+        f'<svg width="{w}" height="{h}" '
+        'style="background:#f7fafc;border:1px solid #cbd5e0">'
+        f'<text x="{pad}" y="14" font-size="11">'
+        f"y: [{y0:.4g}, {y1:.4g}]  x: [{x0:.4g}, {x1:.4g}]</text>"
+        f"{dots}{line}</svg>"
+    )
+
+
+def sweep_report(
+    storage: Union[str, Path], out_html: Optional[Union[str, Path]] = None
+) -> str:
+    """Text summary of a study + optional self-contained HTML report
+    (trial-history scatter with running best, best-trial table, one
+    value-vs-param scatter per numeric parameter, category means for
+    categoricals). Returns the text summary."""
+    trials, direction = load_study(storage)
+    lines = [f"study: {storage} ({len(trials)} trials, {direction})"]
+    if not trials:
+        summary = lines[0]
+        if out_html:
+            Path(out_html).write_text(f"<html><body><p>{summary}</p></body></html>")
+        return summary
+    sign = 1.0 if direction == "maximize" else -1.0
+    best = max(trials, key=lambda t: sign * t["value"])
+    lines.append(f"best: value={best['value']:.6g} params={best['params']}")
+    values = [t["value"] for t in trials]
+    lines.append(
+        f"values: min={min(values):.6g} max={max(values):.6g} "
+        f"mean={float(np.mean(values)):.6g}"
+    )
+    param_names = sorted({k for t in trials for k in t["params"]})
+    cat_notes = []
+    for name in param_names:
+        vals = [t["params"].get(name) for t in trials]
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+               for v in vals):
+            continue
+        by_cat: Dict[Any, List[float]] = {}
+        for t in trials:
+            by_cat.setdefault(t["params"].get(name), []).append(t["value"])
+        means = {k: float(np.mean(v)) for k, v in by_cat.items()}
+        cat_notes.append(f"{name}: " + ", ".join(
+            f"{k}={v:.4g} (n={len(by_cat[k])})" for k, v in sorted(
+                means.items(), key=lambda kv: -sign * kv[1]
+            )
+        ))
+    if cat_notes:
+        lines.append("categorical means: " + "; ".join(cat_notes))
+    summary = "\n".join(lines)
+
+    if out_html:
+        history = [(t["number"], t["value"]) for t in trials]
+        running, cur = [], None
+        for n, v in history:
+            cur = v if cur is None else (
+                max(cur, v) if direction == "maximize" else min(cur, v)
+            )
+            running.append((n, cur))
+        parts = [
+            "<html><head><meta charset='utf-8'>"
+            "<title>sweep report</title></head>"
+            "<body style='font-family:sans-serif;max-width:720px'>",
+            f"<h2>Study: {Path(str(storage)).name}</h2>",
+            f"<p>{len(trials)} trials ({direction})</p>",
+            "<h3>Best trial</h3><table border='1' cellpadding='4'>",
+            f"<tr><th>value</th><td>{best['value']:.6g}</td></tr>",
+        ]
+        parts.extend(
+            f"<tr><th>{k}</th><td>{v}</td></tr>"
+            for k, v in best["params"].items()
+        )
+        parts.append("</table>")
+        parts.append(
+            _svg_scatter(
+                history, best_line=running,
+                title="Trial history (orange = running best)",
+            )
+        )
+        for name in param_names:
+            pts = [
+                (t["params"][name], t["value"])
+                for t in trials
+                if isinstance(t["params"].get(name), (int, float))
+                and not isinstance(t["params"].get(name), bool)
+            ]
+            if pts:
+                parts.append(_svg_scatter(pts, title=f"value vs {name}"))
+        if cat_notes:
+            parts.append("<h3>Categorical means</h3><ul>")
+            parts.extend(f"<li>{n}</li>" for n in cat_notes)
+            parts.append("</ul>")
+        parts.append("</body></html>")
+        Path(out_html).parent.mkdir(parents=True, exist_ok=True)
+        Path(out_html).write_text("\n".join(parts))
+    return summary

@@ -168,3 +168,43 @@ class TestTPESampler:
         s.optimize(lambda p: p["x"], 3)
         out = s.summary(top=2)
         assert "3 trials" in out and "value=" in out
+
+
+def test_sweep_report_text_and_html(tmp_path):
+    """sweep_report (the optuna-dashboard analog): text summary + a
+    self-contained HTML report from either storage backend."""
+    from manuscript_tpu.utils.sweep import Study, sweep_report
+
+    st = Study(
+        {"a": ("float", 0.0, 1.0), "m": ("cat", ["x", "y"])},
+        storage=str(tmp_path / "s.db"),
+        direction="maximize",
+        n_warmup=2,
+    )
+    st.optimize(lambda p: p["a"] * (2.0 if p["m"] == "x" else 1.0), 6)
+    out_html = tmp_path / "report.html"
+    summary = sweep_report(str(tmp_path / "s.db"), out_html=out_html)
+    assert "best:" in summary and "6 trials" in summary
+    html = out_html.read_text()
+    assert "<svg" in html and "Best trial" in html
+    assert "value vs a" in html  # per-param scatter
+    assert "Categorical means" in html
+    # empty study degrades gracefully
+    assert "0 trials" in sweep_report(str(tmp_path / "none.json"))
+
+
+def test_sweep_report_cli(tmp_path, capsys):
+    from manuscript_tpu import __main__ as cli
+    from manuscript_tpu.utils.sweep import Study
+
+    Study(
+        {"a": ("float", 0.0, 1.0)},
+        storage=str(tmp_path / "s.json"),
+        n_warmup=1,
+    ).optimize(lambda p: p["a"], 3)
+    cli.main([
+        "sweep-report", str(tmp_path / "s.json"),
+        "--out", str(tmp_path / "r.html"),
+    ])
+    assert "best:" in capsys.readouterr().out
+    assert (tmp_path / "r.html").exists()

@@ -249,3 +249,39 @@ def test_native_prep_error_propagates(tiny_east, tiny_trba, tiny_page):
             [tiny_page, "/no/such/page.png", tiny_page, tiny_page]
         )
     assert len(f.predict_many([tiny_page, tiny_page])) == 2
+
+
+def test_warm_next_bucket_precompiles(tiny_east, tiny_trba, tiny_page):
+    """VERDICT r4 task 8: after the warmer runs, an overflow page re-shapes
+    to the next bucket WITHOUT a cold compile — the warmed program object
+    is reused and its jit dispatch cache gains no new entry."""
+    from manuscript_tpu.fused import FusedOCR
+
+    _some_thresh(tiny_east, tiny_page)
+    probe = FusedOCR(tiny_east, tiny_trba, max_words=16, mode="greedy")
+    n_words = sum(
+        1 for b in probe.predict(tiny_page).blocks for w in b.words
+    )
+    if n_words < 2:
+        pytest.skip("need >=2 words to overflow capacity 1")
+    f = FusedOCR(
+        tiny_east, tiny_trba, max_words="auto", mode="greedy",
+        capacity_buckets=(1, 16), capacity_headroom=0, batch_pages=2,
+    )
+    f._apply_capacity(1)
+    t = f.warm_next_bucket(block=True)
+    assert t is not None
+    assert 16 in f._rec_fns_batched
+    fnb = f._rec_fns_batched[16]
+    size_before = (
+        fnb._cache_size() if hasattr(fnb, "_cache_size") else None
+    )
+    if size_before is not None:
+        assert size_before >= 1  # the warm executed → programs cached
+    pages = f.predict_many([tiny_page, tiny_page])
+    assert f.max_words == 16 and len(pages) == 2
+    assert f._rec_fns_batched[16] is fnb  # warmed object reused
+    if size_before is not None:
+        assert fnb._cache_size() == size_before  # overflow paid no compile
+    # idempotent + top bucket reached → nothing more to warm
+    assert f.warm_next_bucket(block=True) is None

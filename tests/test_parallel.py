@@ -216,6 +216,109 @@ class TestMultiHost:
             assert p.returncode == 0, f"proc {i} failed:\n{out}"
             assert "psum OK" in out
 
+    def test_two_process_fused_inference_cpu(self, tmp_path):
+        """Multi-host INFERENCE analog of the psum test (VERDICT r4 task
+        7): two real processes join one jax.distributed cluster, each
+        holding half of a 2-device mesh, and ``predict_many`` shards pages
+        across both — inputs staged with make_array_from_callback, outputs
+        allgathered (fused._stage_sharded/_fetch). Both processes must
+        produce the same complete page set."""
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = tmp_path / "worker_infer.py"
+        worker.write_text(textwrap.dedent(f"""
+            import os, sys, json
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ.pop("XLA_FLAGS", None)  # 1 local device per process
+            os.environ.setdefault("MANUSCRIPT_TPU_NO_DOWNLOAD", "1")
+            os.environ.setdefault("MANUSCRIPT_TPU_ALLOW_RANDOM_INIT", "1")
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_disable_most_optimizations", True)
+            sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+            from manuscript_tpu.parallel.mesh import (
+                initialize_distributed, make_mesh,
+            )
+            pid = int(sys.argv[1])
+            initialize_distributed(
+                coordinator_address="127.0.0.1:{port}",
+                num_processes=2,
+                process_id=pid,
+            )
+            assert jax.process_count() == 2
+            import numpy as np
+            from manuscript_tpu.detectors import EAST
+            from manuscript_tpu.recognizers import TRBA
+            from manuscript_tpu.fused import FusedOCR
+            import tempfile
+            east = EAST(
+                target_size=64, max_candidates=64, max_boxes=16,
+                backbone="resnet50-tiny", score_thresh=0.1,
+            )
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".json", delete=False
+            ) as cf:
+                json.dump({{"max_len": 4, "hidden_size": 16,
+                           "img_h": 32, "img_w": 32}}, cf)
+            trba = TRBA(config_path=cf.name, cnn_stage_plan="tiny")
+            mesh = make_mesh(n_devices=2)
+            assert len(mesh.devices.ravel()) == 2
+            fused = FusedOCR(
+                east, trba, max_words=8, mode="greedy",
+                batch_pages=2, mesh=mesh,
+            )
+            page1 = np.full((64, 64, 3), 240, np.uint8)
+            page1[10:22, 6:30] = 40
+            page2 = np.full((64, 64, 3), 240, np.uint8)
+            page2[30:44, 10:40] = 60
+            pages = fused.predict_many([page1, page2])
+            assert len(pages) == 2
+            digest = [
+                [(round(float(w.polygon[0][0]), 2), w.text)
+                 for b in p.blocks for w in b.words]
+                for p in pages
+            ]
+            print("DIGEST " + json.dumps(digest), flush=True)
+            print(f"proc {{pid}} fused multihost OK", flush=True)
+        """))
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=600)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        digests = []
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+            assert "fused multihost OK" in out
+            digests.append(
+                next(
+                    ln for ln in out.splitlines() if ln.startswith("DIGEST ")
+                )
+            )
+        # both processes reconstructed the SAME complete page set
+        assert digests[0] == digests[1]
+
     def test_explicit_kwargs_failure_raises(self):
         """Misconfigured multi-host must fail loudly, not fall back."""
         import subprocess

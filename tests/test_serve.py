@@ -409,3 +409,100 @@ def test_serve_bench_smoke_end_to_end():
     assert metrics["serve_pages_per_sec"]["value"] > 0
     assert metrics["serve_pages_per_sec"]["errors"] == 0
     assert "serve_latency_p99_s" in metrics
+
+
+class PipelinedStub(StubPipeline):
+    """Stub exposing the async start_batch/finish_batch pair so the server
+    runs its two-stage (assembler + finisher) pipelined worker."""
+
+    def __init__(self, start_s: float = 0.0, finish_s: float = 0.0,
+                 fail_on: str | None = None):
+        super().__init__()
+        self.start_s = start_s
+        self.finish_s = finish_s
+        self.fail_on = fail_on
+        self.events = []  # ("start"/"finish", batch_size, t)
+
+    def start_batch(self, images):
+        with self.lock:
+            self.events.append(("start", len(images), time.time()))
+        if self.fail_on == "start":
+            raise ValueError("boom-start")
+        if self.start_s:
+            time.sleep(self.start_s)
+        return list(images)
+
+    def finish_batch(self, handle):
+        if self.fail_on == "finish":
+            raise ValueError("boom-finish")
+        if self.finish_s:
+            time.sleep(self.finish_s)
+        pages = [self._page(im) for im in handle]
+        with self.lock:
+            self.events.append(("finish", len(handle), time.time()))
+        return pages
+
+
+def test_pipelined_worker_used_and_correct():
+    pipe = PipelinedStub()
+    srv = OCRServer(pipe, host="127.0.0.1", port=0, batch_wait_ms=5.0)
+    assert srv._pipelined
+    srv.start_background()
+    try:
+        code, body = _post(srv.port, make_png(40, 20))
+        assert code == 200
+        assert body["text"] == "40x20"
+        # the batch went through start/finish, not _run_batch
+        kinds = [e[0] for e in pipe.events]
+        assert "start" in kinds and "finish" in kinds
+        assert pipe.calls == []  # predict/process_batch untouched
+    finally:
+        srv.shutdown()
+
+
+def test_pipelined_overlap_next_batch_starts_before_finish():
+    """Batch N+1's start_batch (host prep + dispatch) must run while batch
+    N is still inside finish_batch — the overlap that hides prep/upload
+    behind device compute."""
+    pipe = PipelinedStub(finish_s=0.25)
+    srv = OCRServer(
+        pipe, host="127.0.0.1", port=0, batch_pages=1, batch_wait_ms=1.0
+    )
+    srv.start_background()
+    try:
+        results = []
+
+        def post():
+            results.append(_post(srv.port, make_png()))
+
+        threads = [threading.Thread(target=post) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(code == 200 for code, _ in results)
+        with pipe.lock:
+            events = list(pipe.events)
+        starts = [t for k, _, t in events if k == "start"]
+        finishes = [t for k, _, t in events if k == "finish"]
+        assert len(starts) == 3 and len(finishes) == 3
+        # the 2nd start happened before the 1st finish completed
+        assert starts[1] < finishes[0]
+    finally:
+        srv.shutdown()
+
+
+@pytest.mark.parametrize("stage", ["start", "finish"])
+def test_pipelined_errors_are_500_and_worker_survives(stage):
+    pipe = PipelinedStub(fail_on=stage)
+    srv = OCRServer(pipe, host="127.0.0.1", port=0, batch_wait_ms=5.0)
+    srv.start_background()
+    try:
+        code, body = _post(srv.port, make_png())
+        assert code == 500
+        assert "boom" in body["error"]
+        pipe.fail_on = None  # worker must still be alive
+        code, body = _post(srv.port, make_png())
+        assert code == 200
+    finally:
+        srv.shutdown()
