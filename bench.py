@@ -310,13 +310,7 @@ def main():
     # gate on code speed is the device-only line + tests/test_perf_gate.py.
     PROBE_REF_S = 0.080
     norm_dt = max(dt - n_pages * (probe0 - PROBE_REF_S), 1e-6)
-    emit(
-        "e2e_pages_per_sec_link_normalized",
-        n_pages / norm_dt,
-        "pages/s_at_reference_link",
-        probe_ref_s=PROBE_REF_S,
-        link_probe_s=round(probe0, 4),
-    )
+    norm_pps = n_pages / norm_dt
 
     # ---- device-only throughput: inputs pre-staged in HBM, one scalar
     # fetched — the link-independent speed of the fused program itself.
@@ -334,6 +328,23 @@ def main():
     except Exception as exc:
         dev_pps = None
         raw["device_only_error"] = repr(exc)
+
+    # The additive model charges a full probe's fixed dispatch cost per
+    # page, but predict_many amortizes that over batch_pages pages per
+    # dispatch — under heavy throttling it overcorrects. The fused
+    # program's device-only throughput is the physical ceiling, so cap
+    # the normalized figure there.
+    norm_capped = dev_pps is not None and norm_pps > dev_pps
+    if norm_capped:
+        norm_pps = dev_pps
+    emit(
+        "e2e_pages_per_sec_link_normalized",
+        norm_pps,
+        "pages/s_at_reference_link",
+        probe_ref_s=PROBE_REF_S,
+        link_probe_s=round(probe0, 4),
+        capped_at_device_only=norm_capped,
+    )
 
     # ---- greedy-mode secondary (the speed configuration) ----
     fused_g = FusedOCR(

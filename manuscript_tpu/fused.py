@@ -58,6 +58,7 @@ Documented semantics deltas vs the classic path (all tested):
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, List, Optional, Union
 
@@ -223,6 +224,7 @@ class FusedOCR:
         self._rec_fns_batched = {}
         self._warmed_buckets = set()
         self._warm_thread = None
+        self._capacity_lock = threading.Lock()
 
     # ------------------------------------------------------------------
 
@@ -797,26 +799,40 @@ class FusedOCR:
         phase B ever runs — unlike the device path's re-run, growth here
         costs one extra phase-B compile, never a second detection or page
         upload."""
-        nw = self.max_words
-        if n_eligible > nw and self._auto_capacity:
-            grown = next(
-                (
-                    c
-                    for c in self.capacity_buckets
-                    if c > nw and n_eligible <= c - self._headroom(c)
-                ),
-                self.capacity_buckets[-1],
-            )
-            if grown > nw:
-                self.last_overflow = n_eligible - nw
-                print(
-                    f"[FusedOCR] word capacity {nw} < {n_eligible} eligible "
-                    f"words — growing to {grown} (native path: only the "
-                    "recognize stage re-shapes)"
+        with self._capacity_lock:  # crop stages may overlap (predict_many)
+            nw = self.max_words
+            if n_eligible > nw and self._auto_capacity:
+                grown = next(
+                    (
+                        c
+                        for c in self.capacity_buckets
+                        if c > nw and n_eligible <= c - self._headroom(c)
+                    ),
+                    self.capacity_buckets[-1],
                 )
-                self.max_words = grown
-                nw = grown
+                if grown > nw:
+                    self.last_overflow = n_eligible - nw
+                    print(
+                        f"[FusedOCR] word capacity {nw} < {n_eligible} "
+                        f"eligible words — growing to {grown} (native path: "
+                        "only the recognize stage re-shapes)"
+                    )
+                    self.max_words = grown
+                    nw = grown
         return nw
+
+    def _chunk_bucket(self, max_elig: int) -> int:
+        """Chunk-local phase-B capacity: the smallest bucket covering this
+        chunk's densest page, capped at the global bound. A single dense
+        page grows ``max_words`` permanently (auto mode), but later sparse
+        chunks shouldn't keep paying the grown bucket's strip upload,
+        padded recognizer compute, and result-fetch bytes — the tunneled
+        link is the native path's bottleneck, and strip bytes scale with
+        the bucket. Programs are cached per bucket, so revisiting a small
+        bucket after growth costs nothing."""
+        cap = self._native_capacity_for(max_elig)  # may grow the bound
+        nw = next((c for c in self.capacity_buckets if c >= max_elig), cap)
+        return min(nw, cap)
 
     def _native_strip(self, img: np.ndarray, boxes9: np.ndarray, rows, nw):
         """Build one page's phase-B input: for each selected word, the
@@ -862,7 +878,7 @@ class FusedOCR:
         )
         boxes9, bvalid, _ = self._unpack_detect(flat, nb)
         rows_all = self._eligible_rows(boxes9, bvalid)
-        nw = self._native_capacity_for(len(rows_all))
+        nw = self._chunk_bucket(len(rows_all))
         rows = rows_all[:nw]
         self.last_dropped = len(rows_all) - len(rows)
         if self.last_dropped > 0:
@@ -1174,7 +1190,7 @@ class FusedOCR:
             rows_all = self._eligible_rows(boxes9, bvalid)
             rows_all_list.append(rows_all)
             max_elig = max(max_elig, len(rows_all))
-        nw = self._native_capacity_for(max_elig)
+        nw = self._chunk_bucket(max_elig)
         rows_used, strips = [], []
         dropped = 0
         for i in range(len(imgs)):
@@ -1196,8 +1212,10 @@ class FusedOCR:
 
     def _dispatch_rec_chunk(self, crop_res) -> tuple:
         """Native stage 3 (main thread): dispatch phase B on the prepared
-        crop stack."""
+        crop stack. Runs in chunk order, so it also publishes the
+        diagnostic ``last_dropped`` (finish stages may overlap)."""
         imgs, boxes_list, rows_used, stack, nw, dropped = crop_res
+        self.last_dropped = dropped
         rvars = (
             self._rec_vars_mesh
             if self.mesh is not None
@@ -1209,7 +1227,6 @@ class FusedOCR:
     def _finish_rec_chunk(self, rec_res, vis: bool) -> List[Any]:
         imgs, boxes_list, rows_used, outs, nw, dropped = rec_res
         flat = self._fetch(outs)  # (B, rec_flat) — single d2h
-        self.last_dropped = dropped
         pages = []
         for i, img in enumerate(imgs):
             confs, preds = self._unpack_rec(flat[i], nw)
@@ -1349,13 +1366,18 @@ class FusedOCR:
     def _predict_many_native(
         self, images, vis: bool, queue_depth: int
     ) -> List[Any]:
-        """Chunked native-crop inference as a three-stage software pipeline:
+        """Chunked native-crop inference as a FOUR-stage software pipeline:
         page prep (thread A) → phase A dispatch (main) → box fetch + cv2
         crops + crop upload (thread B) → phase B dispatch (main) → result
-        fetch (main). In steady state chunk i's host crop work and both
-        link transfers hide behind the device computing chunks i±1, so the
-        extra round trip the two-phase split adds costs latency, not
-        throughput."""
+        fetch + page build (thread C). The main thread only dispatches —
+        every blocking link transfer lives in a background thread — so in
+        steady state chunk i's host work and all three link legs hide
+        behind the device computing chunks i±1, and the extra round trip
+        the two-phase split adds costs latency, not throughput. (On-chip
+        stage profile, 4-page chunks, tunneled v5e: prep ≈80 ms, crop
+        stage ≈140 ms, result fetch ≈90 ms vs ≈80 ms device compute —
+        main-thread-blocking finishes alone cost ~90 ms/chunk before the
+        fourth stage existed.)"""
         from concurrent.futures import ThreadPoolExecutor
 
         b = max(1, self.batch_pages)
@@ -1363,9 +1385,18 @@ class FusedOCR:
         n = len(chunks)
         results: List[Any] = []
         window = queue_depth + 1
+        # Two workers in the crop and finish stages: each stage's body is
+        # an internally-serial chain of link legs (box d2h → cv2 → strip
+        # h2d; result d2h → page build), so with one worker the pipeline
+        # period equals that chain's full latency (~160 ms/chunk on the
+        # tunneled v5e vs ~80 ms device compute). With two, consecutive
+        # chunks' chains overlap and the period drops toward the longest
+        # single leg. Capacity growth is lock-guarded; finish publishes
+        # nothing on self, and ordering is restored via fin_f[i].
         with ThreadPoolExecutor(max_workers=1) as prep_ex, \
-                ThreadPoolExecutor(max_workers=1) as crop_ex:
-            prep_f, crop_f, rec_r = {}, {}, {}
+                ThreadPoolExecutor(max_workers=2) as crop_ex, \
+                ThreadPoolExecutor(max_workers=2) as fin_ex:
+            prep_f, crop_f, fin_f = {}, {}, {}
             next_prep = 0
 
             def fill_preps(upto: int) -> None:
@@ -1378,23 +1409,33 @@ class FusedOCR:
 
             for i in range(n):
                 fill_preps(i + window)
-                if i >= 1:
-                    rec_r[i - 1] = self._dispatch_rec_chunk(
-                        crop_f.pop(i - 1).result()
-                    )
+                # Dispatch chunk i's phase A FIRST: the detect program
+                # enters the device queue before the host blocks on chunk
+                # i-1's crop stage (box d2h + cv2 crops + strip h2d), so
+                # that round trip hides behind detect compute instead of
+                # idling the device. (Dispatch-order on device: det_i,
+                # then rec_{i-1} — phase B buffers only depend on their
+                # own inputs, and det_i's box fetch only waits on det_i's
+                # definition event, so neither delays the other's fetch.)
                 det_i = self._dispatch_detect_prepared(
                     prep_f.pop(i).result()
                 )
+                # Submit chunk i's crop stage BEFORE blocking on chunk
+                # i-1's: with two crop workers the chains overlap — i's
+                # box fetch rides out det_i's compute while i-1's strip
+                # upload drains.
                 crop_f[i] = crop_ex.submit(self._crop_stage, *det_i)
-                if i >= 2:
-                    results.extend(
-                        self._finish_rec_chunk(rec_r.pop(i - 2), vis)
+                if i >= 1:
+                    rec = self._dispatch_rec_chunk(
+                        crop_f.pop(i - 1).result()
                     )
-            rec_r[n - 1] = self._dispatch_rec_chunk(
-                crop_f.pop(n - 1).result()
-            )
-            for i in sorted(rec_r):
-                results.extend(self._finish_rec_chunk(rec_r[i], vis))
+                    fin_f[i - 1] = fin_ex.submit(
+                        self._finish_rec_chunk, rec, vis
+                    )
+            rec = self._dispatch_rec_chunk(crop_f.pop(n - 1).result())
+            fin_f[n - 1] = fin_ex.submit(self._finish_rec_chunk, rec, vis)
+            for i in sorted(fin_f):
+                results.extend(fin_f[i].result())
         return results
 
     def predict_many(
