@@ -807,44 +807,50 @@ def main():
             batch_pages=fused.batch_pages, batch_wait_ms=10.0,
         )
         srv.start_background()
-        buf = _io.BytesIO()
-        np.save(buf, pages[0])
-        body = buf.getvalue()
-        url = f"http://127.0.0.1:{srv.port}/ocr"
-        serve_secs = 3.0 if smoke else 12.0
-        stop_at = time.perf_counter() + serve_secs
-        lat: list = []
-        s_errors = [0]
-        s_lock = threading.Lock()
+        try:
+            buf = _io.BytesIO()
+            np.save(buf, pages[0])
+            body = buf.getvalue()
+            url = f"http://127.0.0.1:{srv.port}/ocr"
+            serve_secs = 3.0 if smoke else 12.0
+            stop_at = time.perf_counter() + serve_secs
+            lat: list = []
+            s_errors = [0]
+            s_lock = threading.Lock()
 
-        def _client():
-            while time.perf_counter() < stop_at:
-                t0 = time.perf_counter()
-                try:
-                    req = urllib.request.Request(
-                        url, data=body, method="POST"
-                    )
-                    with urllib.request.urlopen(req, timeout=120) as resp:
-                        ok = resp.status == 200 and bool(resp.read())
-                except Exception:
-                    ok = False
-                d = time.perf_counter() - t0
-                with s_lock:
-                    (lat.append(d) if ok else s_errors.__setitem__(
-                        0, s_errors[0] + 1
-                    ))
+            def _client():
+                while time.perf_counter() < stop_at:
+                    t0 = time.perf_counter()
+                    try:
+                        req = urllib.request.Request(
+                            url, data=body, method="POST"
+                        )
+                        with urllib.request.urlopen(
+                            req, timeout=120
+                        ) as resp:
+                            ok = resp.status == 200 and bool(resp.read())
+                    except Exception:
+                        ok = False
+                    d = time.perf_counter() - t0
+                    with s_lock:
+                        (lat.append(d) if ok else s_errors.__setitem__(
+                            0, s_errors[0] + 1
+                        ))
 
-        n_clients = 3 if smoke else 12
-        t_sv = time.perf_counter()
-        cthreads = [
-            threading.Thread(target=_client) for _ in range(n_clients)
-        ]
-        for t in cthreads:
-            t.start()
-        for t in cthreads:
-            t.join()
-        sv_elapsed = time.perf_counter() - t_sv
-        srv.shutdown()
+            n_clients = 3 if smoke else 12
+            t_sv = time.perf_counter()
+            cthreads = [
+                threading.Thread(target=_client) for _ in range(n_clients)
+            ]
+            for t in cthreads:
+                t.start()
+            for t in cthreads:
+                t.join()
+            sv_elapsed = time.perf_counter() - t_sv
+        finally:
+            # a failure above must not leak live server/batcher threads
+            # into the closing link probe and primary re-measurement
+            srv.shutdown()
         if lat:
             ls = sorted(lat)
             n_ok = len(ls)

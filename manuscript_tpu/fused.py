@@ -223,7 +223,9 @@ class FusedOCR:
         self._rec_fns = {}
         self._rec_fns_batched = {}
         self._warmed_buckets = set()
+        self._warming = set()
         self._warm_thread = None
+        self._warm_threads: List[Any] = []
         self._capacity_lock = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -1213,9 +1215,17 @@ class FusedOCR:
     def _dispatch_rec_chunk(self, crop_res) -> tuple:
         """Native stage 3 (main thread): dispatch phase B on the prepared
         crop stack. Runs in chunk order, so it also publishes the
-        diagnostic ``last_dropped`` (finish stages may overlap)."""
+        diagnostics ``last_dropped``/``last_overflow`` (finish stages may
+        overlap) and prints the same capacity-drop warning the single-page
+        and device paths do."""
         imgs, boxes_list, rows_used, stack, nw, dropped = crop_res
         self.last_dropped = dropped
+        if dropped > 0:
+            self.last_overflow = dropped
+            print(
+                f"[FusedOCR] word capacity {nw} dropped up to {dropped} "
+                "words per page in this chunk"
+            )
         rvars = (
             self._rec_vars_mesh
             if self.mesh is not None
@@ -1284,57 +1294,77 @@ class FusedOCR:
         RGB strip variants) makes an overflow re-shape compile-free. The
         warm EXECUTES the jitted programs on zero inputs (one tiny
         dispatch each) because only a real call populates jit's dispatch
-        cache. Idempotent per bucket; returns the warmer thread, or None
-        when there is nothing to warm (pinned capacity — it never grows —
-        capacity unresolved, top bucket reached, device-crop path, or
-        already warmed). The thread is a daemon: a process exiting while
-        a warm compile is in flight can abort noisily, so callers with a
-        shutdown path should join ``_warm_thread`` briefly (OCRServer
-        does)."""
+        cache. Also warms any SMALLER buckets not yet compiled: chunk-local
+        bucket selection (``_chunk_bucket``) can revisit a small bucket
+        after growth, and that bucket's batched program may never have run
+        if capacity grew before the first dispatch at the old size.
+        Idempotent per bucket — a bucket is marked warmed only AFTER its
+        compile succeeds, so a failed warm retries on the next call.
+        Returns the warmer thread, or None when there is nothing to warm
+        (pinned capacity — it never grows — capacity unresolved,
+        device-crop path, multi-process mesh — a threaded sharded dispatch
+        would desync the processes' global program order — or everything
+        already warmed/in flight). The thread is a daemon: a process
+        exiting while a warm compile is in flight can abort noisily, so
+        callers with a shutdown path should join ``_warm_threads`` briefly
+        (OCRServer does)."""
         if (
             not self._auto_capacity
             or self.max_words is None
             or self.crop_source != "native"
+            or jax.process_count() > 1
         ):
             return None
         nxt = next(
             (c for c in self.capacity_buckets if c > self.max_words), None
         )
-        if nxt is None or nxt in self._warmed_buckets:
+        targets = [
+            c
+            for c in self.capacity_buckets
+            if (nxt is None or c <= nxt)
+            and c not in self._warmed_buckets
+            and c not in self._warming
+        ]
+        if not targets:
             return None
-        self._warmed_buckets.add(nxt)
+        self._warming.update(targets)
 
-        def _warm(nw=nxt):
-            try:
-                rec = self.recognizer
-                h, w = rec.img_h, rec.img_w
-                fnb = self._rec_program_batched(nw)
-                rvars = (
-                    self._rec_vars_mesh
-                    if self.mesh is not None
-                    else rec.variables
-                )
-                for shape in (
-                    (self.batch_pages, nw * h, w),  # channel-folded strip
-                    (self.batch_pages, nw * h, w, 3),  # RGB strip
-                ):
-                    stack = np.zeros(shape, np.uint8)
-                    if self.mesh is None:
-                        # committed like _crop_stage's input — an
-                        # uncommitted warm array would miss the jit
-                        # dispatch cache the real call keys on
-                        stack = jax.device_put(stack)
-                    np.asarray(fnb(rvars, stack))
-            except Exception as exc:  # pragma: no cover — never crash prod
-                print(f"[FusedOCR] bucket warmer failed: {exc!r}")
-
-        import threading
+        def _warm(buckets=tuple(targets)):
+            rec = self.recognizer
+            h, w = rec.img_h, rec.img_w
+            for nw in buckets:
+                try:
+                    fnb = self._rec_program_batched(nw)
+                    rvars = (
+                        self._rec_vars_mesh
+                        if self.mesh is not None
+                        else rec.variables
+                    )
+                    for shape in (
+                        (self.batch_pages, nw * h, w),  # channel-folded
+                        (self.batch_pages, nw * h, w, 3),  # RGB strip
+                    ):
+                        stack = np.zeros(shape, np.uint8)
+                        if self.mesh is None:
+                            # committed like _crop_stage's input — an
+                            # uncommitted warm array would miss the jit
+                            # dispatch cache the real call keys on
+                            stack = jax.device_put(stack)
+                        np.asarray(fnb(rvars, stack))
+                    self._warmed_buckets.add(nw)
+                except Exception as exc:  # pragma: no cover — keep prod up
+                    print(f"[FusedOCR] bucket warmer failed: {exc!r}")
+                finally:
+                    self._warming.discard(nw)
 
         t = threading.Thread(
-            target=_warm, name=f"fused-warm-{nxt}", daemon=True
+            target=_warm, name=f"fused-warm-{targets[-1]}", daemon=True
         )
         t.start()
         self._warm_thread = t
+        self._warm_threads = [
+            w for w in self._warm_threads if w.is_alive()
+        ] + [t]
         if block:
             t.join()
         return t
@@ -1347,7 +1377,21 @@ class FusedOCR:
         serving layer calls this from its assembler thread so batch N+1's
         decode/resize/upload and phase-A dispatch overlap batch N's device
         compute and result fetch (VERDICT r4 task 3); ``finish_batch``
-        blocks for the results. One start/finish pair per chunk, FIFO."""
+        blocks for the results. One start/finish pair per call, FIFO;
+        a batch larger than ``batch_pages`` is split into per-chunk
+        dispatches internally (the device programs are shaped for
+        ``batch_pages`` pages — a caller-side batcher, e.g. OCRServer
+        with a larger ``batch_pages`` override, must not leak its batch
+        size into the program shape)."""
+        b = max(1, self.batch_pages)
+        if len(images) > b:
+            return (
+                "multi",
+                [
+                    self.start_batch(images[i : i + b])
+                    for i in range(0, len(images), b)
+                ],
+            )
         prep = self._prepare_chunk(images)
         if self.crop_source == "native":
             return ("native", self._dispatch_detect_prepared(prep))
@@ -1357,6 +1401,11 @@ class FusedOCR:
         """Complete a ``start_batch`` chunk: block on device results (and,
         on the native path, run the crop stage + phase B) and build pages."""
         kind, payload = handle
+        if kind == "multi":
+            out: List[Any] = []
+            for sub in payload:
+                out.extend(self.finish_batch(sub))
+            return out
         if kind == "native":
             rec = self._dispatch_rec_chunk(self._crop_stage(*payload))
             return self._finish_rec_chunk(rec, vis=False)
@@ -1384,6 +1433,20 @@ class FusedOCR:
         chunks = [images[i : i + b] for i in range(0, len(images), b)]
         n = len(chunks)
         results: List[Any] = []
+        if self.mesh is not None and jax.process_count() > 1:
+            # Multi-controller SPMD requires every process to launch the
+            # same global computations (and allgathers) in the same order;
+            # background threads would make the interleaving of chunk i's
+            # crop/finish collectives nondeterministic across processes.
+            # Run the stages strictly serially per chunk instead — the
+            # overlap only hides single-host link latency anyway.
+            for chunk in chunks:
+                det = self._dispatch_detect_prepared(
+                    self._prepare_chunk(chunk)
+                )
+                rec = self._dispatch_rec_chunk(self._crop_stage(*det))
+                results.extend(self._finish_rec_chunk(rec, vis))
+            return results
         window = queue_depth + 1
         # Two workers in the crop and finish stages: each stage's body is
         # an internally-serial chain of link legs (box d2h → cv2 → strip
@@ -1432,6 +1495,13 @@ class FusedOCR:
                     fin_f[i - 1] = fin_ex.submit(
                         self._finish_rec_chunk, rec, vis
                     )
+                    # Backpressure: cap the finish backlog like the device
+                    # path caps in-flight chunks — otherwise a slow link
+                    # lets pending finishes pin every chunk's full-res
+                    # pages and device buffers for the whole run.
+                    while len(fin_f) > queue_depth:
+                        j = min(fin_f)
+                        results.extend(fin_f.pop(j).result())
             rec = self._dispatch_rec_chunk(crop_f.pop(n - 1).result())
             fin_f[n - 1] = fin_ex.submit(self._finish_rec_chunk, rec, vis)
             for i in sorted(fin_f):

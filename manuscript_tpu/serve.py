@@ -372,12 +372,31 @@ class OCRServer:
                 continue
             with self.metrics.lock:
                 self.metrics.busy_seconds += time.time() - t0
+            enqueued = False
             while not self._stop.is_set():
                 try:
                     self._inflight.put((batch, handle), timeout=0.2)
+                    enqueued = True
                     break
                 except queue.Full:
                     continue
+            if not enqueued:
+                # shutdown raced a STARTED batch (device work already
+                # dispatched): finish it inline so its clients get their
+                # pages instead of blocking until the request timeout.
+                try:
+                    pages = self.pipeline.finish_batch(handle)
+                    for job, page in zip(batch, pages):
+                        job.result = page
+                except Exception as exc:
+                    for job in batch:
+                        job.error = f"{type(exc).__name__}: {exc}"
+                finally:
+                    with self.metrics.lock:
+                        self.metrics.pages_total += len(batch)
+                        self.metrics.batch_count += 1
+                    for job in batch:
+                        job.done.set()
 
     def _finish_loop(self):
         """Second pipeline stage: block for each started batch's device
@@ -467,6 +486,11 @@ class OCRServer:
         # a bucket-warm compile in flight at interpreter exit aborts
         # noisily (daemon thread inside XLA) — give it a grace period
         fused = getattr(self.pipeline, "_fused", None)
-        warm = getattr(fused, "_warm_thread", None)
-        if warm is not None and warm.is_alive():
-            warm.join(timeout=60.0)
+        warms = list(getattr(fused, "_warm_threads", None) or [])
+        single = getattr(fused, "_warm_thread", None)
+        if single is not None and single not in warms:
+            warms.append(single)
+        deadline = time.time() + 60.0
+        for warm in warms:
+            if warm.is_alive():
+                warm.join(timeout=max(0.0, deadline - time.time()))

@@ -401,6 +401,7 @@ def sweep_report(
     if not trials:
         summary = lines[0]
         if out_html:
+            Path(out_html).parent.mkdir(parents=True, exist_ok=True)
             Path(out_html).write_text(f"<html><body><p>{summary}</p></body></html>")
         return summary
     sign = 1.0 if direction == "maximize" else -1.0

@@ -285,3 +285,25 @@ def test_warm_next_bucket_precompiles(tiny_east, tiny_trba, tiny_page):
         assert fnb._cache_size() == size_before  # overflow paid no compile
     # idempotent + top bucket reached → nothing more to warm
     assert f.warm_next_bucket(block=True) is None
+
+
+def test_start_batch_splits_oversized_batches(tiny_east, tiny_trba, tiny_page):
+    """A serving-layer batch larger than batch_pages must not leak its
+    size into the device program shape: start_batch splits it into
+    per-chunk dispatches and finish_batch reassembles in order
+    (OCRServer(batch_pages=N) with a smaller fused batch_pages is a
+    supported configuration)."""
+    from manuscript_tpu.fused import FusedOCR
+
+    _some_thresh(tiny_east, tiny_page)
+    f = FusedOCR(
+        tiny_east, tiny_trba, max_words=8, mode="greedy", batch_pages=2
+    )
+    want = [w.text for b in f.predict(tiny_page).blocks for w in b.words]
+    handle = f.start_batch([tiny_page] * 5)  # 5 > batch_pages=2
+    assert handle[0] == "multi" and len(handle[1]) == 3
+    pages = f.finish_batch(handle)
+    assert len(pages) == 5
+    for pg in pages:
+        got = [w.text for b in pg.blocks for w in b.words]
+        assert got == want
