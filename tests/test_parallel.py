@@ -278,8 +278,13 @@ class TestMultiHost:
             page1[10:22, 6:30] = 40
             page2 = np.full((64, 64, 3), 240, np.uint8)
             page2[30:44, 10:40] = 60
-            pages = fused.predict_many([page1, page2])
-            assert len(pages) == 2
+            # 4 pages / batch_pages=2 -> TWO chunks: multi-process runs
+            # must execute every chunk's global programs and allgathers in
+            # the same order on both processes (fused serializes the
+            # native stages under multi-controller), so a 2-chunk run is
+            # the regression test for cross-process ordering.
+            pages = fused.predict_many([page1, page2, page2, page1])
+            assert len(pages) == 4
             digest = [
                 [(round(float(w.polygon[0][0]), 2), w.text)
                  for b in p.blocks for w in b.words]
